@@ -1,0 +1,17 @@
+"""augustus_tpu — a TPU-native (JAX/XLA/Pallas) gene-prediction framework.
+
+A from-scratch re-design of the capabilities of AUGUSTUS (generalized
+hidden semi-Markov model gene finder) for TPU hardware:
+
+  * all probabilities are kept in log space (float64 on host / exact path,
+    float32+renormalization on the TPU fast path) instead of the reference's
+    extended-range linear float (reference: src/lldouble.cc),
+  * per-base emission terms are precomputed as dense score *tracks* with
+    cumulative sums so any segment emission is O(1) (reference computes them
+    lazily per candidate, src/exonmodel.cc:1925 seqProb),
+  * the semi-Markov Viterbi runs as a banded scan suited to XLA/Pallas,
+  * multi-sequence / multi-chunk parallelism uses jax.sharding over a device
+    mesh instead of cluster job lists (reference: scripts/createAugustusJoblist.pl).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,232 @@
+"""Nucleotide encoding, genetic code, and k-mer pattern indexing.
+
+Everything is vectorized over NumPy int8 code arrays (a=0, c=1, g=2, t=3,
+anything else=4) — the framework's replacement for the reference's per-char
+``Seq2Int`` (include/geneticcode.hh:163) and ``GeneticCode`` predicates
+(src/geneticcode.cc).  Pattern index convention matches the reference: the
+first base of a pattern is the most significant base-4 digit; ``rc`` packs the
+complement of base i at significance i (reverse complement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+A, C, G, T, N = 0, 1, 2, 3, 4
+
+_CODE = np.full(256, N, dtype=np.int8)
+for _ch, _v in (("a", A), ("c", C), ("g", G), ("t", T)):
+    _CODE[ord(_ch)] = _v
+    _CODE[ord(_ch.upper())] = _v
+
+_SOFTMASK = np.zeros(256, dtype=bool)
+for _ch in "acgtn":
+    _SOFTMASK[ord(_ch)] = True  # lowercase letters = repeat-softmasked
+
+COMPLEMENT = np.array([T, G, C, A, N], dtype=np.int8)
+
+INT2BASE = np.array(list("acgtn"))
+
+
+def encode(seq: str) -> np.ndarray:
+    """DNA string -> int8 codes (0..3, 4 for non-acgt)."""
+    raw = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+    return _CODE[raw]
+
+
+def softmask_runs(seq: str) -> np.ndarray:
+    """Boolean per-base mask: True where the base is lowercase (softmasked)."""
+    raw = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+    return _SOFTMASK[raw]
+
+
+def decode(codes: np.ndarray) -> str:
+    return "".join(INT2BASE[np.asarray(codes, dtype=np.int64)])
+
+
+def reverse_complement(codes: np.ndarray) -> np.ndarray:
+    return COMPLEMENT[codes[::-1]]
+
+
+def kmer_ids(codes: np.ndarray, k: int) -> np.ndarray:
+    """Pattern index of the k-mer *starting* at each position (len = n-k+1).
+
+    Positions whose window contains a non-acgt base get index -1.
+    First base is the most significant digit (reference Seq2Int::operator()).
+    """
+    n = codes.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    c64 = codes.astype(np.int64)
+    ids = np.zeros(n - k + 1, dtype=np.int64)
+    bad = np.zeros(n - k + 1, dtype=bool)
+    for i in range(k):
+        ids = (ids << 2) | np.where(c64[i:n - k + 1 + i] == N, 0,
+                                    c64[i:n - k + 1 + i])
+        bad |= c64[i:n - k + 1 + i] == N
+    ids[bad] = -1
+    return ids
+
+
+def rc_kmer_ids(codes: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement pattern index of the k-mer starting at each position.
+
+    Matches reference Seq2Int::rc: digit i (significance 4**i) is the
+    complement of base i of the window.
+    """
+    n = codes.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    comp = COMPLEMENT[codes].astype(np.int64)
+    ids = np.zeros(n - k + 1, dtype=np.int64)
+    bad = np.zeros(n - k + 1, dtype=bool)
+    for i in range(k):
+        ids |= np.where(comp[i:n - k + 1 + i] == N, 0,
+                        comp[i:n - k + 1 + i]) << (2 * i)
+        bad |= comp[i:n - k + 1 + i] == N
+    ids[bad] = -1
+    return ids
+
+
+# ---------------------------------------------------------------------------
+# Genetic code.  Codon index = b0*16 + b1*4 + b2 (first base most significant).
+# ---------------------------------------------------------------------------
+
+_AA_ORDER = "GDERKNQSTAVLIFYWHMCP"  # reference amino acid ordering
+
+# standard genetic code: map codon string -> amino acid single-letter ('*'=stop)
+_STANDARD = {
+    "ttt": "F", "ttc": "F", "tta": "L", "ttg": "L",
+    "ctt": "L", "ctc": "L", "cta": "L", "ctg": "L",
+    "att": "I", "atc": "I", "ata": "I", "atg": "M",
+    "gtt": "V", "gtc": "V", "gta": "V", "gtg": "V",
+    "tct": "S", "tcc": "S", "tca": "S", "tcg": "S",
+    "cct": "P", "ccc": "P", "cca": "P", "ccg": "P",
+    "act": "T", "acc": "T", "aca": "T", "acg": "T",
+    "gct": "A", "gcc": "A", "gca": "A", "gcg": "A",
+    "tat": "Y", "tac": "Y", "taa": "*", "tag": "*",
+    "cat": "H", "cac": "H", "caa": "Q", "cag": "Q",
+    "aat": "N", "aac": "N", "aaa": "K", "aag": "K",
+    "gat": "D", "gac": "D", "gaa": "E", "gag": "E",
+    "tgt": "C", "tgc": "C", "tga": "*", "tgg": "W",
+    "cgt": "R", "cgc": "R", "cga": "R", "cgg": "R",
+    "agt": "S", "agc": "S", "aga": "R", "agg": "R",
+    "ggt": "G", "ggc": "G", "gga": "G", "ggg": "G",
+}
+
+
+def codon_index(codon: str) -> int:
+    idx = 0
+    for ch in codon:
+        idx = idx * 4 + int(_CODE[ord(ch)])
+    return idx
+
+
+class GeneticCode:
+    """Codon translation + start/stop predicates for one translation table.
+
+    Only the standard table (1) is wired up so far; alternative translation
+    tables (reference src/geneticcode.cc chooseTranslationTable) hang off the
+    same structure by editing ``aa_of_codon``.
+    """
+
+    def __init__(self, table: int = 1):
+        self.table = table
+        self.aa_of_codon = np.array(["X"] * 64)
+        for codon, aa in _STANDARD.items():
+            self.aa_of_codon[codon_index(codon)] = aa
+        if table != 1:
+            self._apply_alternative(table)
+        self.is_stop = self.aa_of_codon == "*"
+        # start codons: standard = atg only (reference: START_CODON "atg",
+        # plus optional non-atg starts controlled by probabilities)
+        self.start_codons = {codon_index("atg"): 1.0}
+
+    def _apply_alternative(self, table: int) -> None:
+        # Translation-table deviations from the standard code, keyed by NCBI
+        # table number (reference src/geneticcode.cc:25-90 aa_symbols_with_*).
+        deviations = {
+            2: {"aga": "*", "agg": "*", "ata": "M", "tga": "W"},
+            3: {"ata": "M", "ctt": "T", "ctc": "T", "cta": "T", "ctg": "T",
+                "tga": "W"},
+            4: {"tga": "W"}, 5: {"aga": "S", "agg": "S", "ata": "M",
+                                 "tga": "W"},
+            6: {"taa": "Q", "tag": "Q"},
+            9: {"aaa": "N", "aga": "S", "agg": "S", "tga": "W"},
+            10: {"tga": "C"}, 12: {"ctg": "S"},
+            13: {"aga": "G", "agg": "G", "ata": "M", "tga": "W"},
+            14: {"aaa": "N", "aga": "S", "agg": "S", "taa": "Y", "tga": "W"},
+            16: {"tag": "L"}, 21: {"tga": "W", "ata": "M", "aga": "S",
+                                   "agg": "S", "aaa": "N"},
+            22: {"tca": "*", "tag": "L"},
+            23: {"tta": "*"},
+            24: {"aga": "S", "agg": "K", "tga": "W"},
+            25: {"tga": "G"},
+        }
+        for codon, aa in deviations.get(table, {}).items():
+            self.aa_of_codon[codon_index(codon)] = aa
+        self.is_stop = self.aa_of_codon == "*"
+
+    def translate(self, codes: np.ndarray) -> str:
+        """Translate coding-sequence codes (length divisible by 3 not required;
+        trailing partial codon ignored)."""
+        ncod = codes.shape[0] // 3
+        if ncod == 0:
+            return ""
+        cods = codes[:ncod * 3].reshape(ncod, 3).astype(np.int64)
+        bad = (cods == N).any(axis=1)
+        idx = cods[:, 0] * 16 + cods[:, 1] * 4 + cods[:, 2]
+        idx[bad] = 0
+        aas = self.aa_of_codon[idx].copy()
+        aas[bad] = "X"
+        return "".join(aas)
+
+    # vectorized per-position predicates ------------------------------------
+    def stop_at(self, codes: np.ndarray) -> np.ndarray:
+        """Boolean array: True at position i if codes[i:i+3] is a stop codon.
+
+        Length n; last two positions are False.
+        """
+        n = codes.shape[0]
+        out = np.zeros(n, dtype=bool)
+        if n < 3:
+            return out
+        c = codes.astype(np.int64)
+        idx = c[:-2] * 16 + c[1:-1] * 4 + c[2:]
+        valid = (c[:-2] != N) & (c[1:-1] != N) & (c[2:] != N)
+        out[: n - 2] = valid & self.is_stop[np.where(valid, idx, 0)]
+        return out
+
+    def rc_stop_at(self, codes: np.ndarray) -> np.ndarray:
+        """True at i if codes[i:i+3] is the reverse complement of a stop codon
+        (i.e. a stop codon read on the minus strand): tta, cta, tca for the
+        standard code."""
+        n = codes.shape[0]
+        out = np.zeros(n, dtype=bool)
+        if n < 3:
+            return out
+        c = codes.astype(np.int64)
+        comp = COMPLEMENT[codes].astype(np.int64)
+        # reverse complement codon = comp(b2) comp(b1) comp(b0)
+        idx = comp[2:] * 16 + comp[1:-1] * 4 + comp[:-2]
+        valid = (c[:-2] != N) & (c[1:-1] != N) & (c[2:] != N)
+        out[: n - 2] = valid & self.is_stop[np.where(valid, idx, 0)]
+        return out
+
+    def start_at(self, codes: np.ndarray) -> np.ndarray:
+        """True at i if codes[i:i+3] == atg."""
+        n = codes.shape[0]
+        out = np.zeros(n, dtype=bool)
+        if n < 3:
+            return out
+        out[: n - 2] = (codes[:-2] == A) & (codes[1:-1] == T) & (codes[2:] == G)
+        return out
+
+    def rc_start_at(self, codes: np.ndarray) -> np.ndarray:
+        """True at i if codes[i:i+3] == cat (reverse complement of atg)."""
+        n = codes.shape[0]
+        out = np.zeros(n, dtype=bool)
+        if n < 3:
+            return out
+        out[: n - 2] = (codes[:-2] == C) & (codes[1:-1] == A) & (codes[2:] == T)
+        return out
