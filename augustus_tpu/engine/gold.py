@@ -1,0 +1,856 @@
+"""Host ("gold") semi-Markov Viterbi engine — exact reference semantics.
+
+A NumPy log-space float64 implementation of the GHMM decode, used as the
+correctness oracle for the TPU kernels and for small inputs.  Mirrors the
+recursion of the reference models exactly:
+
+  * igenic / geometric introns: per-base recursion
+    (src/igenicmodel.cc:231, src/intronmodel.cc:697)
+  * longdss / longass / equalD: fixed-length jumps (src/intronmodel.cc:692)
+  * lessD: variable-length with explicit length distribution
+    (src/intronmodel.cc:540)
+  * coding exons: length loop with ORF stop barriers, signal-anchored ends,
+    piecewise content models (src/exonmodel.cc:899-1130, 1272-1711)
+
+Tie-breaking replicates the reference iteration order (strictly-greater
+maximum updates; exon begin positions iterated descending; ancestors by state
+index), so backtracked paths match the C++ binary up to float rounding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import genetics
+from ..constants import (Constants, ASS_MIDDLE, DSS_MIDDLE, STARTCODON_LEN,
+                         STOPCODON_LEN)
+from ..model.state_config import (ST, StateGraph, STATE_READING_FRAMES,
+                                  is_on_f_strand)
+from ..model.pbl import ExonParams, IgenicParams, IntronParams
+from ..model import gc as gcmod
+from . import tracks as T
+
+NEG_INF = float("-inf")
+LOG4 = float(np.log(4.0))
+
+
+def mod3(x):
+    return np.mod(x, 3)
+
+
+@dataclass
+class ExonGeometry:
+    """Per-exon-type fixed offsets (reference exonmodel.cc:230-280)."""
+    etype: ST
+    win: int
+    begin_part_len: int
+    inner_part_offset: int
+    base_offset: int
+    inner_part_end_offset: int
+    forward: bool
+
+
+def exon_geometry(etype: ST, cn: Constants) -> ExonGeometry:
+    fwd = is_on_f_strand(etype)
+    win = int(STATE_READING_FRAMES[etype])
+    if etype in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
+        bpl = STARTCODON_LEN + cn.trans_init_window
+        ipo = STARTCODON_LEN
+    elif etype in (ST.rsingleG, ST.rterminal0, ST.rterminal1, ST.rterminal2):
+        bpl = ipo = STOPCODON_LEN
+    else:
+        bpl = 0
+        ipo = cn.ass_end if fwd else cn.dss_start
+    if etype in (ST.singleG, ST.terminal):
+        bo, ipeo = 0, STOPCODON_LEN
+    elif etype in (ST.rsingleG, ST.rinitial):
+        bo, ipeo = -cn.trans_init_window, STARTCODON_LEN
+    else:
+        bo = cn.dss_start if fwd else cn.ass_end
+        ipeo = cn.dss_start if fwd else cn.ass_end
+    return ExonGeometry(etype=etype, win=win, begin_part_len=bpl,
+                        inner_part_offset=ipo, base_offset=bo,
+                        inner_part_end_offset=ipeo, forward=fwd)
+
+
+class GoldEngine:
+    """Decoder for one sequence chunk with a fixed parameter set."""
+
+    def __init__(self, sg: StateGraph, cn: Constants,
+                 igp: IgenicParams, exp: ExonParams, inp: IntronParams,
+                 decomp: gcmod.Decomposition,
+                 gcode: Optional[genetics.GeneticCode] = None):
+        self.sg = sg
+        self.cn = cn
+        self.igp = igp
+        self.exp = exp
+        self.inp = inp
+        self.decomp = decomp
+        self.gcode = gcode or genetics.GeneticCode()
+        self.S = sg.statecount
+
+        # per-GC-class adjusted transition matrices (log space).
+        # reference IntronModel::updateToLocalGC modifies the global matrix:
+        # columns into lessD states become probShortIntron, into equalD
+        # 1-probShortIntron; geometric self-loops become 1-1/mal with the rest
+        # of the row renormalized to total 1/mal (src/intronmodel.cc:440-488).
+        self.log_trans: List[np.ndarray] = []
+        for c in range(len(inp.gc)):
+            tr = sg.transitions.copy()
+            psi = inp.gc[c].prob_short_intron
+            mal = inp.gc[c].mal
+            for cur, t in enumerate(sg.state_types):
+                if t in (ST.lessD0, ST.lessD1, ST.lessD2,
+                         ST.rlessD0, ST.rlessD1, ST.rlessD2):
+                    tr[:, cur][tr[:, cur] > 0] = psi
+                elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
+                           ST.requalD0, ST.requalD1, ST.requalD2):
+                    tr[:, cur][tr[:, cur] > 0] = 1.0 - psi
+            for cur, t in enumerate(sg.state_types):
+                if t in (ST.geometric0, ST.geometric1, ST.geometric2,
+                         ST.rgeometric0, ST.rgeometric1, ST.rgeometric2):
+                    if mal > 0:
+                        row = tr[cur].copy()
+                        others = row.sum() - row[cur]
+                        tr[cur, cur] = 1.0 - 1.0 / mal
+                        if others > 0:
+                            scale = 1.0 / (mal * others)
+                            for i in range(self.S):
+                                if i != cur:
+                                    tr[cur, i] = row[i] * scale
+            with np.errstate(divide="ignore"):
+                self.log_trans.append(np.log(tr))
+
+        with np.errstate(divide="ignore"):
+            self.log_init = np.log(sg.init_probs)
+            self.log_term = np.log(sg.term_probs)
+
+        # group state indices by type for quick access
+        self.idx: Dict[ST, int] = dict(sg.type_to_index)
+        self.exon_states = [(i, t) for i, t in enumerate(sg.state_types)
+                            if sg.model_class[i] == "exonmodel"]
+        self.geom = {t: exon_geometry(t, cn) for _, t in self.exon_states}
+
+        # ancestors per state: indices i with trans[i][s] > 0, ascending
+        self.ancestors: List[np.ndarray] = [
+            np.flatnonzero(sg.transitions[:, s] > 0) for s in range(self.S)]
+
+        d = inp.d
+        self.d_state_len = (d - DSS_MIDDLE - cn.dss_end - cn.ass_start
+                            - ASS_MIDDLE - cn.ass_upwindow_size)
+
+        with np.errstate(divide="ignore"):
+            self.log_len_intron = np.log(inp.len_dist)
+            self.log_len_exon = {
+                kind: np.log(arr) for kind, arr in exp.len_dist.items()}
+
+    # ------------------------------------------------------------------
+    def prepare(self, codes: np.ndarray) -> None:
+        """Precompute all tracks for one sequence."""
+        cn, n = self.cn, codes.shape[0]
+        self.codes = codes
+        self.n = n
+        self.stairs = gcmod.compute_stairs(codes, cn, self.decomp)
+        self.orf = T.nearest_stop_arrays(codes, self.gcode)
+        self.splice = T.build_splice_tracks(codes, self.inp, cn)
+
+        k = self.exp.k
+        log_n_coding = float(np.log(cn.prob_n_in_coding))
+        classes = sorted(set(self.stairs.tolist()))
+        self.classes = classes
+
+        # content tracks per class
+        self.ig_track: Dict[int, np.ndarray] = {}
+        self.intron_f: Dict[int, np.ndarray] = {}
+        self.intron_r: Dict[int, np.ndarray] = {}
+        self.cum_intron_f: Dict[int, np.ndarray] = {}
+        self.cum_intron_r: Dict[int, np.ndarray] = {}
+        self.cum_exon: Dict[Tuple[int, str, bool], np.ndarray] = {}
+        for c in classes:
+            self.ig_track[c] = self._igenic_track(codes, c)
+            itf = T.kmer_lookup_log(codes, self.inp.k + 1,
+                                    self.inp.gc[c].emiprobs, T.LOG_QUARTER)
+            itf[: self.inp.k] = T.LOG_QUARTER
+            itr = T.rc_kmer_lookup_log(codes, self.inp.k + 1,
+                                       self.inp.gc[c].emiprobs, T.LOG_QUARTER)
+            self.intron_f[c] = itf
+            self.intron_r[c] = itr
+            cf = np.zeros(n + 1); cf[1:] = np.cumsum(itf)
+            cr = np.zeros(n + 1); cr[1:] = np.cumsum(itr)
+            self.cum_intron_f[c] = cf
+            self.cum_intron_r[c] = cr
+
+            gcp = self.exp.gc[c]
+            for name, table in (("emi", gcp.emiprobs),
+                                ("init", gcp.initemiprobs),
+                                ("et", gcp.etemiprobs)):
+                per_frame_f = np.stack([
+                    T.kmer_lookup_log(codes, k + 1, table[f], log_n_coding)
+                    for f in range(3)])
+                per_frame_r = np.stack([
+                    T.rc_kmer_lookup_log(codes, k + 1, table[f], log_n_coding)
+                    for f in range(3)])
+                self.cum_exon[(c, name, True)] = T.phase_cumsum(per_frame_f,
+                                                                reverse=False)
+                self.cum_exon[(c, name, False)] = T.phase_cumsum(per_frame_r,
+                                                                 reverse=True)
+
+        # signal tracks
+        self._build_signal_tracks(codes)
+
+    # ------------------------------------------------------------------
+    def _igenic_track(self, codes: np.ndarray, c: int) -> np.ndarray:
+        """Per-base igenic log emission (reference igenicmodel.cc:299):
+        j > k: order-k chain (tied to the intron content model when
+        configured); j <= k: conditional from the short-pattern P_l tables,
+        replicating the reference's sibling-index arithmetic verbatim."""
+        cn = self.cn
+        igp = self.igp
+        k = igp.k
+        tied = (cn.tie_igenic_intron and self.inp.gc
+                and self.inp.gc[c].emiprobs.size > 0 and self.inp.k == k)
+        table = self.inp.gc[c].emiprobs if tied else igp.gc[c].emiprobs
+        out = T.kmer_lookup_log(codes, k + 1, table, T.LOG_QUARTER)
+        pls = igp.gc[c].pls
+        for j in range(min(k + 1, codes.shape[0])):
+            window = codes[: j + 1]
+            if (window == genetics.N).any():
+                out[j] = T.LOG_QUARTER
+                continue
+            idx = 0
+            for b in window:
+                idx = (idx << 2) | int(b)
+            denom_base = idx // 4
+            vals = pls[j]
+            denom = (vals[denom_base] + vals[min(denom_base + 1, vals.size - 1)]
+                     + vals[min(denom_base + 2, vals.size - 1)]
+                     + vals[min(denom_base + 3, vals.size - 1)])
+            out[j] = np.log(vals[idx] / denom) if denom > 0 and vals[idx] > 0 \
+                else T.LOG_QUARTER
+        return out
+
+    # ------------------------------------------------------------------
+    def _build_signal_tracks(self, codes: np.ndarray) -> None:
+        cn, n = self.cn, self.n
+        gcode = self.gcode
+        cds = codes
+
+        # stop-codon endPart for terminal/singleG ending at DP base j:
+        # stop codon at stppos = j-2 (reference exonmodel.cc:1276-1311)
+        stop_log = np.full(n, NEG_INF)
+        c64 = cds.astype(np.int64)
+        if n >= 3:
+            i0, i1, i2 = c64[:-2], c64[1:-1], c64[2:]
+            A, C, G, Tt = (genetics.A, genetics.C, genetics.G, genetics.T)
+            taa = (i0 == Tt) & (i1 == A) & (i2 == A)
+            tag = (i0 == Tt) & (i1 == A) & (i2 == G)
+            tga = (i0 == Tt) & (i1 == G) & (i2 == A)
+            per_pos = np.full(n - 2, NEG_INF)
+            per_pos[taa] = np.log(cn.ochreprob)
+            per_pos[tag] = np.log(cn.amberprob)
+            per_pos[tga] = np.log(cn.opalprob)
+            # stppos must satisfy 0 <= stppos <= n-3
+            self.stop_at_log = per_pos           # index = stppos
+            stop_log[2:] = per_pos[: n - 2]      # j -> stppos = j-2
+        else:
+            self.stop_at_log = np.full(max(n - 2, 0), NEG_INF)
+        self.end_stop_fwd = stop_log
+
+        # reverse stop codon beginPart (rsingleG/rterminal) at beginOfBioExon
+        rstop = np.full(n, NEG_INF)
+        if n >= 3:
+            tta = (i0 == Tt) & (i1 == Tt) & (i2 == A)
+            cta = (i0 == C) & (i1 == Tt) & (i2 == A)
+            tca = (i0 == Tt) & (i1 == C) & (i2 == A)
+            rstop[: n - 2][tta] = np.log(cn.ochreprob)
+            rstop[: n - 2][cta] = np.log(cn.amberprob)
+            rstop[: n - 2][tca] = np.log(cn.opalprob)
+        self.begin_rstop = rstop
+
+        # start codons
+        start_prob = np.zeros(64)
+        probs_src = self.exp.start_codon_probs
+        if probs_src:
+            for pn, p in probs_src.items():
+                start_prob[pn] = p
+        else:
+            start_prob[14] = 1.0   # atg
+        start_fwd = np.full(n, NEG_INF)     # atg starting at pos
+        start_rev = np.full(n, NEG_INF)     # 'cat' (reverse atg) starting at pos
+        if n >= 3:
+            cod = (c64[:-2] * 16 + c64[1:-1] * 4 + c64[2:])
+            valid = (c64[:-2] != genetics.N) & (c64[1:-1] != genetics.N) & \
+                (c64[2:] != genetics.N)
+            with np.errstate(divide="ignore"):
+                start_fwd[: n - 2] = np.where(
+                    valid, T._safe_log(start_prob[np.where(valid, cod, 0)]),
+                    NEG_INF)
+            # reverse: codon read as rc of [pos, pos+2]
+            comp = genetics.COMPLEMENT[cds].astype(np.int64)
+            rcod = comp[2:] * 16 + comp[1:-1] * 4 + comp[:-2]
+            start_rev[: n - 2] = np.where(
+                valid, T._safe_log(start_prob[np.where(valid, rcod, 0)]),
+                NEG_INF)
+
+        # TIS begin (initial/singleG): beginOfBioExon = bob needs start codon
+        # at bob plus the upstream translation-initiation motif
+        # (reference exonmodel.cc:1426-1461)
+        self.tis_begin_fwd: Dict[int, np.ndarray] = {}
+        self.tis_end_rev: Dict[int, np.ndarray] = {}
+        tw = cn.trans_init_window
+        for c in self.classes:
+            motif = self.exp.gc[c].trans_init_motif
+            mf = T.motif_score_fwd(cds, motif)
+            mr = T.motif_score_rc(cds, motif)
+            bob = np.arange(n)
+            val = start_fwd.copy()
+            tis_start = bob - tw
+            use_motif = tis_start > motif.k
+            motif_term = np.where(
+                use_motif, mf[np.clip(tis_start, 0, n - 1)],
+                bob * T.LOG_QUARTER)    # pow(.25, beginOfStart-3), bOS-3=bob
+            val = val + motif_term
+            val[bob >= n - 2] = NEG_INF
+            tb = self.exp.gc[c].tis_bin
+            if tb.nbins > 0:
+                ok = val > NEG_INF
+                val[ok] = np.log(tb.avprobs[tb.bin_of(np.exp(val[ok]))])
+            self.tis_begin_fwd[c] = val
+
+            # reverse TIS endPart at DP base j: startpos = j - tw - 3 + 1
+            j = np.arange(n)
+            sp = j - tw - STARTCODON_LEN + 1
+            ok = sp >= 0
+            val = np.where(ok, start_rev[np.clip(sp, 0, n - 1)], NEG_INF)
+            # motif right after the start codon, in rc orientation
+            mstart = sp + STARTCODON_LEN
+            in_range = mstart + tw - 1 + motif.k < n
+            motif_term = np.where(
+                in_range, mr[np.clip(mstart, 0, n - 1)],
+                (n - mstart) * T.LOG_QUARTER)
+            val = val + motif_term
+            if tb.nbins > 0:
+                okv = val > NEG_INF
+                val[okv] = np.log(tb.avprobs[tb.bin_of(np.exp(val[okv]))])
+            self.tis_end_rev[c] = val
+
+        self.start_fwd_log = start_fwd
+
+    # ------------------------------------------------------------------
+    # main DP
+    # ------------------------------------------------------------------
+    def run(self, codes: np.ndarray) -> None:
+        self.prepare(codes)
+        n, S = self.n, self.S
+        v = np.full((n, S), NEG_INF)
+        bp_state = np.full((n, S), -1, dtype=np.int16)
+        bp_base = np.full((n, S), -1, dtype=np.int32)
+        v[0] = self.log_init
+
+        types = self.sg.state_types
+        reach = self.sg.reachable_states()
+        chain_states = [s for s in range(S)
+                        if types[s] == ST.igenic or
+                        types[s] in (ST.geometric0, ST.geometric1, ST.geometric2,
+                                     ST.rgeometric0, ST.rgeometric1, ST.rgeometric2)]
+        cn = self.cn
+        dsl = self.d_state_len
+
+        for j in range(1, n):
+            c = int(self.stairs[j])
+            lt = self.log_trans[c]
+            prev = v[j - 1]
+
+            # ---- per-base chain states (igenic + geometric introns)
+            for s in chain_states:
+                if not reach[s]:
+                    continue
+                anc = self.ancestors[s]
+                emi = (self.ig_track[c][j] if types[s] == ST.igenic
+                       else self.intron_f[c][j])
+                cand = prev[anc] + lt[anc, s]
+                bi = int(np.argmax(cand))
+                best = cand[bi]
+                if best > NEG_INF:
+                    v[j, s] = best + emi
+                    bp_state[j, s] = anc[bi]
+                    bp_base[j, s] = j - 1
+
+            # ---- fixed-length intron states
+            self._fixed_intron_step(j, c, v, bp_state, bp_base)
+
+            # ---- variable-length lessD introns
+            self._lessD_step(j, c, v, bp_state, bp_base)
+
+            # ---- exon states
+            for s, t in self.exon_states:
+                if reach[s]:
+                    self._exon_step(j, c, s, t, v, bp_state, bp_base)
+
+        self.v = v
+        self.bp_state = bp_state
+        self.bp_base = bp_base
+
+    # ------------------------------------------------------------------
+    def _fixed_intron_step(self, j, c, v, bp_state, bp_base) -> None:
+        cn = self.cn
+        types = self.sg.state_types
+        lt = self.log_trans[c]
+        sp = self.splice
+        dsl = self.d_state_len
+        for s, t in enumerate(types):
+            if t in (ST.longdss0, ST.longdss1, ST.longdss2):
+                eop = j - cn.dss_whole_size
+                if eop < 0 or not T.is_possible_dss(
+                        sp.dss_ok, j - cn.dss_end - DSS_MIDDLE + 1):
+                    continue
+                emi = sp.dss_score[j - cn.dss_whole_size + 1]
+            elif t in (ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
+                eop = j - cn.dss_whole_size
+                if eop < 0 or not T.is_possible_rdss(sp.rdss_ok,
+                                                     j - cn.dss_start):
+                    continue
+                emi = sp.rdss_score[j - cn.dss_whole_size + 1]
+            elif t in (ST.equalD0, ST.equalD1, ST.equalD2):
+                eop = j - dsl
+                if eop < 0:
+                    continue
+                emi = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][eop + 1]
+            elif t in (ST.requalD0, ST.requalD1, ST.requalD2):
+                # quirk: requalD uses forward-strand patterns
+                # (reference IntronModel::seqProb generic branch)
+                eop = j - dsl
+                if eop < 0:
+                    continue
+                emi = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][eop + 1]
+            elif t in (ST.longass0, ST.longass1, ST.longass2):
+                eop = j - cn.ass_whole_size - cn.ass_upwindow_size
+                if eop < 0 or not T.is_possible_ass(sp.ass_ok, j - cn.ass_end):
+                    continue
+                emi = sp.ass_score[c][eop + 1]
+            elif t in (ST.rlongass0, ST.rlongass1, ST.rlongass2):
+                eop = j - cn.ass_whole_size - cn.ass_upwindow_size
+                if eop < 0 or not T.is_possible_rass(
+                        sp.rass_ok,
+                        j - cn.ass_upwindow_size - cn.ass_start - ASS_MIDDLE + 1):
+                    continue
+                emi = sp.rass_score[c][eop + 1]
+            else:
+                continue
+            if emi == NEG_INF:
+                continue
+            anc = self.ancestors[s]
+            cand = v[eop][anc] + lt[anc, s]
+            bi = int(np.argmax(cand))
+            if cand[bi] > NEG_INF:
+                v[j, s] = cand[bi] + emi
+                bp_state[j, s] = anc[bi]
+                bp_base[j, s] = eop
+
+    # ------------------------------------------------------------------
+    def _lessD_step(self, j, c, v, bp_state, bp_base) -> None:
+        cn, n = self.cn, self.n
+        types = self.sg.state_types
+        lt = self.log_trans[c]
+        sp = self.splice
+        dsl = self.d_state_len
+        codes = self.codes
+        for s, t in enumerate(types):
+            fwd = t in (ST.lessD0, ST.lessD1, ST.lessD2)
+            rev = t in (ST.rlessD0, ST.rlessD1, ST.rlessD2)
+            if not (fwd or rev):
+                continue
+            if fwd:
+                ebi = j + cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
+                if ebi - ASS_MIDDLE + 1 < n - 1 and not T.is_possible_ass(
+                        sp.ass_ok, ebi):
+                    continue
+            else:
+                ebi = j + cn.dss_end + DSS_MIDDLE
+                if ebi - DSS_MIDDLE + 1 < n - 1 and not T.is_possible_rdss(
+                        sp.rdss_ok, ebi):
+                    continue
+            lo = max(j - dsl, 0)
+            eops = np.arange(j - 1, lo - 1, -1)       # descending like reference
+            if eops.size == 0:
+                continue
+            begins = eops + 1
+            if fwd:
+                bbi = begins - cn.dss_end - DSS_MIDDLE
+                ok = ~((bbi >= 0) & ~T.is_possible_dss(sp.dss_ok, bbi))
+                seg = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][begins]
+            else:
+                bbi = begins - cn.ass_outside
+                ok = ~((bbi >= 0) & ~T.is_possible_rass(sp.rass_ok, bbi))
+                seg = self.cum_intron_r[c][j + 1] - self.cum_intron_r[c][begins]
+            # spliced in-frame stop codon exclusion (reference
+            # intronmodel.cc:560-580 + emiProbUnderModel lessD branch)
+            ok &= ~self._spliced_stop(t, bbi, ebi)
+            length = ebi - bbi + 1
+            ld = np.where((length >= 0) & (length <= self.inp.d),
+                          self.log_len_intron[np.clip(length, 0,
+                                                      self.inp.d)], NEG_INF)
+            emi = np.where(ok, seg + ld, NEG_INF)
+            anc = self.ancestors[s]
+            # candidates over (eop desc, ancestors asc)
+            cand = v[eops][:, anc] + lt[anc, s][None, :] + emi[:, None]
+            flat = int(np.argmax(cand))
+            best = cand.flat[flat]
+            if best > NEG_INF:
+                r, a = divmod(flat, anc.shape[0])
+                v[j, s] = best
+                bp_state[j, s] = anc[a]
+                bp_base[j, s] = eops[r]
+
+    def _spliced_stop(self, t: ST, bbi: np.ndarray, ebi: int) -> np.ndarray:
+        """True where splicing the intron [bbi..ebi] with state type t joins a
+        stop codon across the splice boundary."""
+        n, codes = self.n, self.codes
+        out = np.zeros(bbi.shape[0], dtype=bool)
+        if t in (ST.lessD0, ST.rlessD2):
+            return out
+
+        def ch(i):
+            return codes[i] if 0 <= i < n else genetics.N
+
+        def comp(x):
+            return genetics.COMPLEMENT[x]
+
+        # right-side bases (fixed given ebi); 'n' if they extend past the end
+        if ebi < n - 2:
+            r1, r2 = codes[ebi + 1], codes[ebi + 2]
+        else:
+            r1 = r2 = genetics.N
+        is_stop = self.gcode.is_stop
+        guard = bbi > 1
+        # codon composition per type (reference fills codon[] from both sides)
+        if t == ST.lessD1:
+            l0 = np.array([ch(int(b) - 1) for b in bbi])
+            cod = (l0.astype(np.int64), np.full_like(bbi, r1),
+                   np.full_like(bbi, r2))
+        elif t == ST.lessD2:
+            l0 = np.array([ch(int(b) - 2) for b in bbi])
+            l1 = np.array([ch(int(b) - 1) for b in bbi])
+            cod = (l0.astype(np.int64), l1.astype(np.int64),
+                   np.full_like(bbi, r1))
+        elif t == ST.rlessD0:
+            l1 = np.array([comp(ch(int(b) - 1)) for b in bbi])
+            l2 = np.array([comp(ch(int(b) - 2)) for b in bbi])
+            cod = (np.full_like(bbi, comp(r1)), l1.astype(np.int64),
+                   l2.astype(np.int64))
+        elif t == ST.rlessD1:
+            l2 = np.array([comp(ch(int(b) - 1)) for b in bbi])
+            cod = (np.full_like(bbi, comp(r2)), np.full_like(bbi, comp(r1)),
+                   l2.astype(np.int64))
+        else:
+            return out
+        c0, c1, c2 = cod
+        valid = (c0 != genetics.N) & (c1 != genetics.N) & (c2 != genetics.N)
+        idx = np.where(valid, c0 * 16 + c1 * 4 + c2, 0)
+        out = guard & valid & is_stop[idx]
+        return out
+
+    # ------------------------------------------------------------------
+    def _exon_step(self, j, c, s, t, v, bp_state, bp_base) -> None:
+        cn, n = self.cn, self.n
+        g = self.geom[t]
+        sp = self.splice
+        lt = self.log_trans[c]
+
+        # ---- endPart ----------------------------------------------------
+        if t in (ST.singleG, ST.terminal):
+            end_part = self.end_stop_fwd[j]
+        elif t in (ST.rsingleG, ST.rinitial):
+            end_part = self.tis_end_rev[c][j]
+        elif t in (ST.initial0, ST.initial1, ST.initial2,
+                   ST.internal0, ST.internal1, ST.internal2):
+            dsspos = j + cn.dss_start + 1
+            if j == n - 1:
+                end_part = 0.0
+            elif ((dsspos + DSS_MIDDLE - 1 < n
+                   and not T.is_possible_dss(sp.dss_ok, dsspos))
+                  or j + cn.dss_start >= n):
+                end_part = NEG_INF
+            else:
+                # NB: the reference passes the RAW value win-1 (which is -1
+                # for win==0) to leftmostExonBegin — replicate, don't mod3.
+                lmb = T.leftmost_exon_begin_raw(self.orf, g.win - 1,
+                                                j + cn.dss_start, True, cn, n)
+                end_part = NEG_INF if lmb >= j else 0.0
+        else:  # rterminal*, rinternal*
+            asspos = j + cn.ass_end + 1
+            if j == n - 1:
+                end_part = 0.0
+            elif (j + cn.ass_end + ASS_MIDDLE < n
+                  and T.is_possible_rass(sp.rass_ok, asspos)):
+                end_part = 0.0
+            else:
+                end_part = NEG_INF
+        if end_part == NEG_INF:
+            return
+
+        end_of_bio = j + g.base_offset
+        right = end_of_bio - g.inner_part_end_offset
+        if right < 0:
+            return
+        if g.forward:
+            frame_of_right = mod3(g.win - (end_of_bio + 1) + right)
+        else:
+            frame_of_right = mod3(g.win + end_of_bio + 1 - right)
+
+        eon = end_of_bio - STOPCODON_LEN if t in (ST.terminal, ST.singleG) \
+            else end_of_bio
+        if eon > n - 1:
+            eon = n - 1
+        if g.forward:
+            f_eon = mod3(g.win - 1 - end_of_bio + eon)
+        else:
+            f_eon = mod3(g.win + 1 + end_of_bio - eon)
+        orf_left = int(T.leftmost_exon_begin(self.orf, f_eon, eon, g.forward,
+                                             cn, n))
+
+        start_max = end_of_bio + g.inner_part_offset - cn.min_exon_length + 1
+        if t in (ST.rterminal0, ST.rterminal1, ST.rterminal2, ST.rsingleG):
+            start_min = start_max = orf_left + 2
+        else:
+            start_min = 0 if orf_left <= 0 else orf_left + g.inner_part_offset
+            if start_max > j + g.begin_part_len:
+                start_max = j + g.begin_part_len
+        if start_max < start_min:
+            return
+
+        bs = np.arange(start_max, start_min - 1, -1)     # descending
+        eops = bs - g.begin_part_len - 1
+        keep = eops < n
+        bs, eops = bs[keep], eops[keep]
+        if bs.size == 0:
+            return
+
+        note = self._not_end_part(t, c, g, bs, right, int(frame_of_right))
+        valid = note > NEG_INF
+        if not valid.any():
+            return
+
+        bob = bs - g.inner_part_offset
+        exon_len = end_of_bio - bob + 1
+        anc = self.ancestors[s]
+        pred_cols = np.maximum(eops, 0)
+        pv = v[pred_cols][:, anc]                        # (nb, na)
+        total = pv + lt[anc, s][None, :] + (end_part + note)[:, None]
+
+        # reading-frame compatibility with the predecessor state
+        if t not in (ST.singleG, ST.rsingleG, ST.rterminal0, ST.rterminal1,
+                     ST.rterminal2, ST.initial0, ST.initial1, ST.initial2):
+            pred_frames = STATE_READING_FRAMES[
+                [self.sg.state_types[a] for a in anc]]
+            if g.forward:
+                need = mod3(pred_frames[None, :] + exon_len[:, None])
+            else:
+                need = mod3(pred_frames[None, :] - exon_len[:, None])
+            total = np.where(need == g.win, total, NEG_INF)
+
+        total = np.where(valid[:, None], total, NEG_INF)
+        flat = int(np.argmax(total))
+        best = total.flat[flat]
+        if best > NEG_INF and best > v[j, s]:
+            r, a = divmod(flat, anc.shape[0])
+            v[j, s] = best
+            bp_state[j, s] = anc[a]
+            bp_base[j, s] = eops[r]
+
+    # ------------------------------------------------------------------
+    def _not_end_part(self, t: ST, c: int, g: ExonGeometry, bs: np.ndarray,
+                      right: int, frame_of_right: int) -> np.ndarray:
+        """Vectorized ExonModel::notEndPartEmiProb over begin positions."""
+        cn, n = self.cn, self.n
+        sp = self.splice
+        codes = self.codes
+        bob = bs - g.inner_part_offset
+        k = self.exp.k
+        log_nc = float(np.log(cn.prob_n_in_coding))
+
+        # ---- beginPart --------------------------------------------------
+        if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
+            begin = np.where((bob >= 0) & (bob < n),
+                             self.tis_begin_fwd[c][np.clip(bob, 0, n - 1)],
+                             NEG_INF)
+        elif t in (ST.terminal, ST.internal0, ST.internal1, ST.internal2):
+            shortcut = (bob < 0) | ((bob - ASS_MIDDLE >= 0) &
+                                    ~T.is_possible_ass(sp.ass_ok, bob - 1))
+            begin = np.where(bs > 0, np.where(shortcut, NEG_INF, 0.0),
+                             np.where(bs == 0, 0.0, NEG_INF))
+        elif t in (ST.rsingleG, ST.rterminal0, ST.rterminal1, ST.rterminal2):
+            begin = np.where((bob >= 0) & (bob < n),
+                             self.begin_rstop[np.clip(bob, 0, n - 1)], NEG_INF)
+        else:  # rinitial, rinternal*
+            blocked = (bob < 0) | ((bob - DSS_MIDDLE > 0) &
+                                   ~T.is_possible_rdss(sp.rdss_ok, bob - 1))
+            begin = np.where(bs == 0, 0.0,
+                             np.where(blocked, NEG_INF, 0.0))
+
+        # ---- restSeqProb ------------------------------------------------
+        rest = self._rest_seq(t, c, g, bs, right, frame_of_right)
+
+        # ---- length -----------------------------------------------------
+        end_of_bio = right + g.inner_part_end_offset
+        exon_len = end_of_bio - bob + 1
+        le = np.clip(exon_len, 0, cn.max_exon_len)
+        L3 = float(np.log(3.0))
+        lend = self.log_len_exon
+        if t in (ST.singleG, ST.rsingleG):
+            lp = np.where((exon_len >= 1) & (exon_len % 3 == 0),
+                          L3 + lend["single"][le], NEG_INF)
+        elif t in (ST.initial0, ST.initial1, ST.initial2):
+            lp = np.where((exon_len > 2) & (exon_len % 3 == g.win),
+                          L3 + lend["initial"][le], NEG_INF)
+        elif t == ST.rinitial:
+            lp = np.where(exon_len > 2, L3 + lend["initial"][le], NEG_INF)
+        elif t in (ST.internal0, ST.internal1, ST.internal2,
+                   ST.rinternal0, ST.rinternal1, ST.rinternal2):
+            lp = np.where(exon_len >= 1, L3 + lend["internal"][le], NEG_INF)
+        elif t == ST.terminal:
+            lp = np.where(exon_len >= 1, L3 + lend["terminal"][le], NEG_INF)
+        else:  # rterminal*
+            lp = np.where((exon_len >= 1) & (mod3(2 - exon_len) == g.win),
+                          L3 + lend["terminal"][le], NEG_INF)
+
+        return begin + rest + lp
+
+    # ------------------------------------------------------------------
+    def _rest_seq(self, t: ST, c: int, g: ExonGeometry, bs: np.ndarray,
+                  right: int, frame_of_right: int) -> np.ndarray:
+        cn, n = self.cn, self.n
+        k = self.exp.k
+        codes = self.codes
+        log_nc = float(np.log(cn.prob_n_in_coding))
+        out = np.full(bs.shape[0], NEG_INF)
+        pls = self.exp.gc[c].pls
+
+        over = bs > right
+        out[over] = (bs[over] - right - 1) * LOG4
+
+        shorts = (~over) & (right - bs <= k)
+        if shorts.any():
+            for i in np.flatnonzero(shorts):
+                b = int(bs[i])
+                l = right - b
+                if g.forward:
+                    ids = genetics.kmer_ids(codes[b: right + 1], l + 1)
+                    frame = frame_of_right
+                else:
+                    ids = genetics.rc_kmer_ids(codes[b: right + 1], l + 1)
+                    frame = int(mod3(frame_of_right + l))
+                if ids.size and ids[0] >= 0:
+                    val = pls[l][frame, ids[0]]
+                    out[i] = np.log(val) if val > 0 else NEG_INF
+                else:
+                    out[i] = (l + 1) * log_nc
+
+        normal = (~over) & (right - bs > k)
+        if not normal.any():
+            return out
+        idxs = np.flatnonzero(normal)
+        b = bs[idxs]
+
+        if g.forward:
+            phi = int(mod3(frame_of_right - right))
+            cum_emi = self.cum_exon[(c, "emi", True)]
+            cum_init = self.cum_exon[(c, "init", True)]
+            cum_et = self.cum_exon[(c, "et", True)]
+            # initial pattern of length k at [b, b+k-1]
+            end_of_start = b + k - 1
+            initpat = np.full(b.shape[0], k * log_nc)
+            ids = genetics.kmer_ids(codes, k)
+            sel_ok = (b >= 0) & (b <= n - k)
+            pid = ids[np.clip(b, 0, max(n - k, 0))]
+            frame_ip = mod3(phi + end_of_start)
+            okp = sel_ok & (pid >= 0)
+            vals = pls[k - 1][frame_ip[okp], pid[okp]]
+            with np.errstate(divide="ignore"):
+                initpat[okp] = np.log(vals)
+
+            if t == ST.singleG:
+                end_init = np.minimum(end_of_start + cn.init_coding_len, right)
+                seg = T.seg_sum(cum_init, phi, b + k, end_init) + \
+                    T.seg_sum(cum_emi, phi, end_init + 1, right)
+            elif t in (ST.initial0, ST.initial1, ST.initial2):
+                end_init = end_of_start + cn.init_coding_len
+                over_r = end_init > right
+                end_init = np.where(over_r, right, end_init)
+                bot = np.where(over_r, right + 1,
+                               right - cn.et_coding_len + 1)
+                bot = np.where(bot <= end_init, right + 1, bot)
+                seg = T.seg_sum(cum_init, phi, b + k, end_init) + \
+                    T.seg_sum(cum_emi, phi, end_init + 1, bot - 1) + \
+                    T.seg_sum(cum_et, phi, bot, right)
+            elif t in (ST.internal0, ST.internal1, ST.internal2):
+                bot = right - cn.et_coding_len + 1
+                bot = np.where(bot <= end_of_start, right + 1, bot)
+                seg = T.seg_sum(cum_emi, phi, b + k, bot - 1) + \
+                    T.seg_sum(cum_et, phi, bot, right)
+            else:  # terminal
+                seg = T.seg_sum(cum_emi, phi, b + k, right)
+            out[idxs] = initpat + seg
+        else:
+            phi = int(mod3(frame_of_right + right))
+            cum_emi = self.cum_exon[(c, "emi", False)]
+            cum_init = self.cum_exon[(c, "init", False)]
+            cum_et = self.cum_exon[(c, "et", False)]
+            begin_initp = right - (k - 1)
+            # rc initial pattern of length k at [begin_initp, right]
+            rids = genetics.rc_kmer_ids(codes, k)
+            initpat = np.full(b.shape[0], k * log_nc)
+            if 0 <= begin_initp <= n - k:
+                pid = rids[begin_initp]
+                if pid >= 0:
+                    frame_ip = int(mod3(frame_of_right + right - begin_initp))
+                    val = pls[k - 1][frame_ip, pid]
+                    initpat[:] = np.log(val) if val > 0 else NEG_INF
+            if t == ST.rsingleG:
+                begin_init = np.maximum(begin_initp - cn.init_coding_len, b)
+                seg = T.seg_sum(cum_init, phi, begin_init, begin_initp - 1) + \
+                    T.seg_sum(cum_emi, phi, b, begin_init - 1)
+            elif t == ST.rinitial:
+                begin_init = begin_initp - cn.init_coding_len
+                under = begin_init < b
+                begin_init = np.where(under, b, begin_init)
+                eot = np.where(under, b - 1, b + cn.et_coding_len - 1)
+                eot = np.where((~under) & (eot >= begin_init), b - 1, eot)
+                seg = T.seg_sum(cum_init, phi, begin_init, begin_initp - 1) + \
+                    T.seg_sum(cum_emi, phi, eot + 1, begin_init - 1) + \
+                    T.seg_sum(cum_et, phi, b, eot)
+            elif t in (ST.rinternal0, ST.rinternal1, ST.rinternal2):
+                eot = b + cn.et_coding_len - 1
+                eot = np.where(eot >= begin_initp, b - 1, eot)
+                seg = T.seg_sum(cum_emi, phi, eot + 1, begin_initp - 1) + \
+                    T.seg_sum(cum_et, phi, b, eot)
+            else:  # rterminal*
+                seg = T.seg_sum(cum_emi, phi, b, begin_initp - 1)
+            out[idxs] = initpat + seg
+        return out
+
+    # ------------------------------------------------------------------
+    def traceback(self) -> List[Tuple[int, int, ST]]:
+        """Viterbi path as a list of (begin, end, state_type), left to right.
+        (reference NAMGene::getViterbiPath, src/namgene.cc:432)"""
+        n, S = self.n, self.S
+        last = self.v[n - 1] + self.log_term
+        state = int(np.argmax(last))
+        if last[state] == NEG_INF:
+            raise RuntimeError("No feasible path found in HMM")
+        self.path_log_prob = float(last[state])
+        segments: List[Tuple[int, int, ST]] = []
+        base = n - 1
+        while base > 0:
+            pb = int(self.bp_base[base, state])
+            ps = int(self.bp_state[base, state])
+            if ps < 0:
+                raise RuntimeError(
+                    f"traceback stuck at base {base} state {state}")
+            segments.append((pb + 1, base, self.sg.state_types[state]))
+            base, state = pb, ps
+        segments.reverse()
+        return segments
