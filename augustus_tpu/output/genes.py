@@ -1,0 +1,639 @@
+"""State path -> biological gene structures -> GFF/GTF text.
+
+Replicates the reference pipeline (src/gene.cc):
+  condenseStatePath (gene.cc:977) -> projectOntoGeneSequence (gene.cc:394)
+  -> filterGenePrediction (gene.cc:2465) -> groupTranscriptsToGenes
+  (gene.cc:3191) -> printGeneList (gene.cc:3071) with Gene::printGFF
+  formatting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import genetics
+from ..constants import Constants, ASS_MIDDLE, DSS_MIDDLE, STARTCODON_LEN, STOPCODON_LEN
+from ..model.state_config import (ST, STATE_READING_FRAMES, is_on_f_strand,
+                                  is_coding_exon, is_initial_exon,
+                                  is_internal_exon, is_r_internal_exon,
+                                  is_r_terminal_exon)
+
+TRUNC_LEFT = 1
+TRUNC_RIGHT = 2
+
+
+def mod3(x):
+    return x % 3 if x >= 0 else (x % 3 + 3) % 3
+
+
+def fmt3(x: float) -> str:
+    """C++ `setprecision(3)` default-format equivalent."""
+    s = f"{x:.3g}"
+    # C++ prints exponents like 1e-05; python gives 1e-05 as well
+    return s
+
+
+@dataclass
+class PathState:
+    begin: int
+    end: int
+    type: ST
+    truncated: int = 0
+    prob: float = 1.0
+    frame_mod: int = 0
+    has_score: bool = False
+    apostprob: float = 0.0
+
+    def length(self) -> int:
+        return self.end - self.begin + 1
+
+    def frame(self) -> int:
+        return mod3(int(STATE_READING_FRAMES[self.type]) + self.frame_mod)
+
+
+def is_coding_intron(t: ST) -> bool:
+    return (ST.lessD0 <= t <= ST.longass2) or (ST.rlessD0 <= t <= ST.rlongass2)
+
+
+def is_intron_state(t: ST) -> bool:
+    return is_coding_intron(t) or t in (
+        ST.utr5intron, ST.utr5intronvar, ST.utr3intron, ST.utr3intronvar,
+        ST.rutr5intron, ST.rutr5intronvar, ST.rutr3intron, ST.rutr3intronvar,
+        ST.ncintron, ST.ncintronvar, ST.rncintron, ST.rncintronvar,
+        ST.intron_type, ST.rintron_type)
+
+
+def is_exon_state(t: ST) -> bool:
+    return (is_coding_exon(t)
+            or t in (ST.utr5single, ST.utr5init, ST.utr5internal, ST.utr5term,
+                     ST.utr3single, ST.utr3init, ST.utr3internal, ST.utr3term,
+                     ST.rutr5single, ST.rutr5init, ST.rutr5internal,
+                     ST.rutr5term, ST.rutr3single, ST.rutr3init,
+                     ST.rutr3internal, ST.rutr3term,
+                     ST.ncsingle, ST.ncinit, ST.ncinternal, ST.ncterm,
+                     ST.rncsingle, ST.rncinit, ST.rncinternal, ST.rncterm))
+
+
+def set_trunc_flag(st: PathState, pred_end: int, dnalen: int) -> None:
+    """reference State::setTruncFlag (gene.cc:159)."""
+    t = st.type
+    if st.end == dnalen - 1 and (
+            is_initial_exon(t) or is_internal_exon(t) or
+            is_r_terminal_exon(t) or is_r_internal_exon(t) or
+            is_intron_state(t) or t in (ST.utr3single, ST.utr3term)):
+        st.truncated |= TRUNC_RIGHT
+    if pred_end in (-1, 0) and (
+            is_internal_exon(t) or t == ST.terminal or
+            is_r_internal_exon(t) or t == ST.rinitial or
+            is_intron_state(t) or
+            (is_exon_state(t) and not is_coding_exon(t)
+             and t not in (ST.ncsingle, ST.ncinit, ST.ncinternal, ST.ncterm,
+                           ST.rncsingle, ST.rncinit, ST.rncinternal, ST.rncterm))):
+        st.truncated |= TRUNC_LEFT
+
+
+def get_biological_state(st: PathState, cn: Constants) -> PathState:
+    """reference State::getBiologicalState (gene.cc:176)."""
+    t = st.type
+    bs = 0
+    es = 0
+    frame_mod = 0
+    trunc_l = st.truncated & TRUNC_LEFT
+    trunc_r = st.truncated & TRUNC_RIGHT
+    # begin shift
+    if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
+        bs = cn.trans_init_window
+    elif t in (ST.internal0, ST.internal1, ST.internal2, ST.terminal):
+        if not trunc_l:
+            bs = -cn.ass_end
+    elif t in (ST.rinternal0, ST.rinternal1, ST.rinternal2, ST.rinitial):
+        if not trunc_l:
+            bs = -cn.dss_start
+    elif t == ST.intron_type:
+        bs = cn.dss_start if not trunc_l else -1
+    elif t == ST.rintron_type:
+        bs = cn.ass_end if not trunc_l else -1
+    elif t in (ST.utr5single, ST.utr5init):
+        bs = cn.tss_upwindow_size
+    elif t == ST.rutr5single:
+        bs = -cn.trans_init_window if not trunc_l else -st.begin
+    elif t in (ST.rutr5init, ST.rutr5internal, ST.rutr3init, ST.rutr3internal,
+               ST.rncinternal, ST.rncinit):
+        bs = cn.dss_end + DSS_MIDDLE
+    elif t in (ST.utr5internal, ST.utr3internal, ST.utr3term, ST.utr5term,
+               ST.ncinternal, ST.ncterm):
+        bs = cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
+    elif t == ST.rutr5term:
+        bs = -cn.trans_init_window
+    elif t == ST.utr3single:
+        if trunc_l and st.begin == 1:
+            bs = -1
+    elif t in (ST.rutr3single, ST.rutr3term):
+        if st.begin < 0:
+            bs = -st.begin
+    # end shift
+    if t in (ST.rsingleG, ST.rinitial):
+        es = -cn.trans_init_window
+    elif t in (ST.initial0, ST.initial1, ST.initial2):
+        if not trunc_r:
+            es = cn.dss_start
+        else:
+            frame_mod = mod3(-cn.dss_start)
+    elif t in (ST.rterminal0, ST.rterminal1, ST.rterminal2,
+               ST.rinternal0, ST.rinternal1, ST.rinternal2):
+        if not trunc_r:
+            es = cn.ass_end
+        else:
+            frame_mod = mod3(cn.ass_end)
+    elif t in (ST.internal0, ST.internal1, ST.internal2):
+        if not trunc_r:
+            es = cn.dss_start
+        else:
+            frame_mod = mod3(-cn.dss_start)
+    elif t == ST.intron_type:
+        if not trunc_r:
+            es = -cn.ass_end
+    elif t == ST.rintron_type:
+        if not trunc_r:
+            es = -cn.dss_start
+    elif t in (ST.utr5single, ST.utr5term):
+        es = cn.trans_init_window
+    elif t in (ST.rutr5single, ST.rutr5init):
+        es = -cn.tss_upwindow_size
+    elif t in (ST.utr5init, ST.utr5internal, ST.utr3init, ST.utr3internal,
+               ST.ncinit, ST.ncinternal):
+        es = -cn.dss_end - DSS_MIDDLE
+    elif t in (ST.rutr5internal, ST.rutr5term, ST.rutr3internal, ST.rutr3term,
+               ST.rncterm, ST.rncinternal):
+        es = -(cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE)
+    return PathState(begin=st.begin + bs, end=st.end + es, type=t,
+                     truncated=st.truncated, frame_mod=frame_mod,
+                     has_score=st.has_score, apostprob=st.apostprob)
+
+
+@dataclass
+class Gene:
+    """A coding transcript (reference class Gene)."""
+    exons: List[PathState] = field(default_factory=list)
+    introns: List[PathState] = field(default_factory=list)
+    utr5exons: List[PathState] = field(default_factory=list)
+    utr3exons: List[PathState] = field(default_factory=list)
+    strand: str = "+"
+    complete: bool = True
+    complete5utr: bool = False
+    complete3utr: bool = False
+    frame: int = 0
+    clength: int = 0
+    transstart: int = -1
+    transend: int = -1
+    codingstart: int = -1
+    codingend: int = -1
+    id: str = "t1"
+    geneid: str = "g1"
+    seqname: str = ""
+    apostprob: float = 1.0
+    has_probs: bool = False
+    viterbi: bool = True
+    throwaway: bool = False
+
+    def gene_begin(self) -> int:
+        return self.transstart if self.transstart >= 0 else self.codingstart
+
+    def gene_end(self) -> int:
+        return self.transend if self.transend >= 0 else self.codingend
+
+    def complete_cds(self) -> bool:
+        return self.complete
+
+    def signature(self):
+        return (self.strand, tuple((e.begin, e.end, int(e.type))
+                                   for e in self.exons),
+                tuple((e.begin, e.end) for e in self.utr5exons),
+                tuple((e.begin, e.end) for e in self.utr3exons))
+
+
+def condense_path(segments: List[Tuple[int, int, ST]], dnalen: int
+                  ) -> List[PathState]:
+    """Merge same-type runs; set truncation flags from the raw path.
+
+    `segments` come from the engine traceback left-to-right; pred_end of a
+    segment is begin-1.
+    """
+    raw: List[PathState] = []
+    for (b, e, t) in segments:
+        st = PathState(begin=b, end=e, type=t)
+        set_trunc_flag(st, b - 1, dnalen)
+        raw.append(st)
+    out: List[PathState] = []
+    for st in raw:
+        if out and out[-1].type == st.type and not is_coding_exon(st.type):
+            out[-1].end = st.end
+            out[-1].truncated |= st.truncated
+        else:
+            out.append(PathState(begin=st.begin, end=st.end, type=st.type,
+                                 truncated=st.truncated))
+    return out
+
+
+def project_onto_genes(path: List[PathState], cn: Constants) -> List[Gene]:
+    """reference StatePath::projectOntoGeneSequence (gene.cc:394) — coding
+    genes (UTR handling plugs in once the UTR model lands)."""
+    genes: List[Gene] = []
+    i = 0
+    n = len(path)
+    pending: Optional[Gene] = None
+
+    # leading coding intron => incomplete gene starting with intron
+    if n and is_coding_intron(path[0].type):
+        intron = PathState(begin=path[0].begin, end=0,
+                           type=ST.intron_type if is_on_f_strand(path[0].type)
+                           else ST.rintron_type)
+        intron.truncated |= path[0].truncated
+        while i + 1 < n and is_coding_intron(path[i + 1].type):
+            i += 1
+        intron.end = path[i].end
+        intron.truncated |= path[i].truncated
+        pending = Gene()
+        bio = get_biological_state(intron, cn)
+        pending.introns.append(bio)
+        pending.transstart = bio.begin
+        i += 1
+
+    while i < n:
+        while i < n and not is_exon_state(path[i].type):
+            i += 1
+        if i >= n:
+            break
+        cur = path[i]
+        g = pending or Gene()
+        pending = None
+        g.strand = "+" if is_on_f_strand(cur.type) else "-"
+        if g.strand == "-":
+            g.frame = 2
+        if cur.type in (ST.singleG, ST.rsingleG):
+            g.exons.append(get_biological_state(cur, cn))
+            i += 1
+        else:
+            if not (is_initial_exon(cur.type) or is_r_terminal_exon(cur.type)):
+                g.complete = False
+            first = get_biological_state(cur, cn)
+            g.exons.append(first)
+            if g.strand == "+":
+                g.frame = mod3(first.frame() - first.length())
+            else:
+                g.frame = mod3(first.frame() + first.length())
+            if cur.type in (ST.terminal, ST.rinitial):
+                i += 1
+            else:
+                i += 1
+                while i < n and path[i].type not in (ST.terminal, ST.rinitial):
+                    st = path[i]
+                    if is_intron_state(st.type):
+                        intron = PathState(
+                            begin=st.begin, end=st.end,
+                            type=ST.intron_type if is_on_f_strand(st.type)
+                            else ST.rintron_type,
+                            truncated=st.truncated)
+                        while i + 1 < n and is_intron_state(path[i + 1].type):
+                            i += 1
+                            intron.end = path[i].end
+                            intron.truncated = path[i].truncated
+                        g.introns.append(get_biological_state(intron, cn))
+                        if g.introns[-1].end > g.transstart:
+                            g.transend = g.introns[-1].end
+                    elif is_internal_exon(st.type) or is_r_internal_exon(st.type):
+                        g.exons.append(get_biological_state(st, cn))
+                    else:
+                        raise ValueError(
+                            "state path doesn't constitute a valid gene")
+                    i += 1
+                if i >= n:
+                    g.complete = False
+                else:
+                    g.exons.append(get_biological_state(path[i], cn))
+                    i += 1
+        # finish gene
+        g.clength = sum(e.length() for e in g.exons)
+        if g.strand == "-":
+            g.frame = mod3(g.frame - g.clength + 1)
+        if g.exons:
+            g.codingstart = g.exons[0].begin
+            g.codingend = g.exons[-1].end
+        if g.codingend > g.transend:
+            g.transend = -1
+        if g.codingstart >= 0 and g.codingstart < g.transstart:
+            g.transstart = -1
+        genes.append(g)
+    return genes
+
+
+def coding_sequence(g: Gene, codes: np.ndarray) -> np.ndarray:
+    """Spliced CDS codes in reading direction (reference getExonicSequence)."""
+    parts = [codes[e.begin: e.end + 1] for e in g.exons]
+    seq = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
+    if g.strand == "-":
+        seq = genetics.reverse_complement(seq)
+    return seq
+
+
+def get_translation(codes: np.ndarray, gcode: genetics.GeneticCode) -> str:
+    """reference getTranslation (gene.cc:2338): stops internal -> 'X', final
+    stop dropped; non-acgt codons -> 'X'."""
+    out = []
+    i = 0
+    n = codes.shape[0]
+    while i + 2 < n:
+        cod = codes[i: i + 3]
+        if (cod == genetics.N).any():
+            out.append("X")
+        else:
+            aa = gcode.aa_of_codon[int(cod[0]) * 16 + int(cod[1]) * 4 + int(cod[2])]
+            if aa != "*":
+                out.append(aa)
+            elif i + 3 < n:
+                out.append("X")
+        i += 3
+    return "".join(out)
+
+
+def has_in_frame_stop(g: Gene, codes: np.ndarray,
+                      gcode: genetics.GeneticCode) -> bool:
+    """reference Gene::hasInFrameStop — internal stop codons only."""
+    seq = coding_sequence(g, codes)
+    seq = seq[mod3(-g.frame):]
+    i = 0
+    while seq.shape[0] - i > 3:
+        cod = seq[i: i + 3]
+        if not (cod == genetics.N).any():
+            if gcode.is_stop[int(cod[0]) * 16 + int(cod[1]) * 4 + int(cod[2])]:
+                return True
+        i += 3
+    return False
+
+
+def filter_transcripts(genes: List[Gene], codes: np.ndarray, cn: Constants,
+                       gcode: genetics.GeneticCode, strand: str = "both",
+                       no_in_frame_stop: bool = False) -> List[Gene]:
+    """reference filterGenePrediction (gene.cc:2465), viterbi-only subset."""
+    out = []
+    for g in genes:
+        if strand != "both" and g.strand != strand:
+            continue
+        if g.throwaway:
+            continue
+        ifs = has_in_frame_stop(g, codes, gcode)
+        if (g.clength < cn.min_coding_len and g.complete_cds()) or \
+                (ifs and no_in_frame_stop) or \
+                (g.clength < 4 and g.clength < cn.min_coding_len
+                 and not g.complete_cds()):
+            continue
+        out.append(g)
+    return out
+
+
+@dataclass
+class AltGene:
+    transcripts: List[Gene] = field(default_factory=list)
+    strand: str = "+"
+    mincodstart: int = -1
+    maxcodend: int = -1
+    id: str = "g1"
+    seqname: str = ""
+    apostprob: float = 0.0
+    has_probs: bool = False
+
+    def add(self, g: Gene) -> None:
+        if not self.transcripts:
+            self.strand = g.strand
+            self.mincodstart = g.codingstart
+            self.maxcodend = g.codingend
+        else:
+            self.mincodstart = min(self.mincodstart, g.codingstart)
+            self.maxcodend = max(self.maxcodend, g.codingend)
+        self.transcripts.append(g)
+        self.apostprob += g.apostprob
+
+    def overlaps(self, g: Gene) -> bool:
+        if not g.exons or g.strand != self.strand:
+            return False
+        if not (g.gene_begin() <= self.maxcodend and
+                g.gene_end() >= self.mincodstart):
+            return False
+        for tx in self.transcripts:
+            for ae in tx.exons:
+                for e in g.exons:
+                    if not (e.end < ae.begin or e.begin > ae.end):
+                        # frame_compatible check (coding): same frame at a
+                        # common coordinate and same strand
+                        if _frame_compatible(e, ae):
+                            return True
+        return False
+
+    def min_trans_begin(self) -> int:
+        return min(tx.gene_begin() for tx in self.transcripts)
+
+    def max_trans_end(self) -> int:
+        return max(tx.gene_end() for tx in self.transcripts)
+
+
+def _frame_compatible(e1: PathState, e2: PathState) -> bool:
+    """reference frame_compatible(State*, State*): exons on the same strand
+    overlapping with matching codon phase."""
+    f1 = is_on_f_strand(e1.type)
+    f2 = is_on_f_strand(e2.type)
+    if f1 != f2:
+        return False
+    if f1:
+        return mod3(e1.end - e1.frame()) == mod3(e2.end - e2.frame())
+    return mod3(e1.begin + e1.frame()) == mod3(e2.begin + e2.frame())
+
+
+def group_transcripts(genes: List[Gene]) -> List[AltGene]:
+    """reference groupTranscriptsToGenes (gene.cc:3191)."""
+    genes = sorted(genes, key=lambda g: (g.gene_begin(), g.gene_end()))
+    agl: List[AltGene] = []
+    for g in genes:
+        first_olp: Optional[AltGene] = None
+        keep: List[AltGene] = []
+        for ag in agl:
+            if ag.overlaps(g):
+                if first_olp is None:
+                    ag.add(g)
+                    first_olp = ag
+                    keep.append(ag)
+                else:
+                    for tx in ag.transcripts:
+                        first_olp.add(tx)
+            else:
+                keep.append(ag)
+        agl = keep
+        if first_olp is None:
+            ag = AltGene()
+            ag.add(g)
+            ag.has_probs = True
+            agl.append(ag)
+    return agl
+
+
+# ---------------------------------------------------------------------------
+# GFF printing
+# ---------------------------------------------------------------------------
+
+@dataclass
+class OutputOptions:
+    print_start: bool = True
+    print_stop: bool = True
+    print_cds: bool = True
+    print_exonnames: bool = False
+    print_introns: bool = False
+    print_utr: bool = False
+    print_tss: bool = True
+    print_tts: bool = True
+    gff3: bool = False
+    protein: bool = True
+    codingseq: bool = False
+    stop_codon_excluded_from_cds: bool = False
+    utr_on: bool = False
+
+    @classmethod
+    def from_properties(cls, props) -> "OutputOptions":
+        o = cls()
+        o.print_start = props.get_bool("start", True)
+        o.print_stop = props.get_bool("stop", True)
+        o.print_cds = props.get_bool("cds", True)
+        o.print_exonnames = props.get_bool("exonnames", False)
+        o.print_introns = props.get_bool("introns", False)
+        o.print_utr = props.get_bool("print_utr", False)
+        o.print_tss = props.get_bool("tss", True)
+        o.print_tts = props.get_bool("tts", True)
+        o.gff3 = props.get_bool("gff3", False)
+        o.protein = props.get_bool("protein", True)
+        o.codingseq = props.get_bool("codingseq", False)
+        o.stop_codon_excluded_from_cds = props.get_bool(
+            "stopCodonExcludedFromCDS", False)
+        o.utr_on = props.get_bool("UTR", False)
+        return o
+
+
+def print_gene_gff(g: Gene, o: OutputOptions, out: List[str]) -> None:
+    """reference Gene::printGFF — CDS-only portion (no UTR yet)."""
+    tid = f"{g.geneid}.{g.id}"
+    parent = (f"Parent={tid}" if o.gff3 else
+              f'transcript_id "{tid}"; gene_id "{g.geneid}";')
+    sn, src = g.seqname, "AUGUSTUS"
+    strand = g.strand
+    exons = g.exons
+    if exons:
+        first, last = exons[0], exons[-1]
+        if o.print_start and strand == "+" and \
+                (is_initial_exon(first.type) or first.type == ST.singleG):
+            out.append(f"{sn}\t{src}\tstart_codon\t{first.begin + 1}\t"
+                       f"{first.begin + 3}\t.\t+\t0\t{parent}")
+        if o.print_stop and strand == "-" and (
+                first.type in (ST.terminal, ST.singleG, ST.rsingleG)
+                or is_r_terminal_exon(first.type)):
+            out.append(f"{sn}\t{src}\tstop_codon\t{first.begin + 1}\t"
+                       f"{first.begin + 3}\t.\t-\t0\t{parent}")
+    for e in exons:
+        if o.print_exonnames and not o.gff3:
+            if e.type in (ST.singleG, ST.rsingleG):
+                name = "single"
+            elif is_initial_exon(e.type) or e.type == ST.rinitial:
+                name = "initial"
+            elif e.type == ST.terminal or is_r_terminal_exon(e.type):
+                name = "terminal"
+            else:
+                name = "internal"
+            score = fmt3(e.apostprob) if e.has_score else "."
+            frame = (mod3(3 - (e.frame() - e.length())) if strand == "+"
+                     else mod3(2 - e.frame()))
+            out.append(f"{sn}\t{src}\t{name}\t{e.begin + 1}\t{e.end + 1}\t"
+                       f"{score}\t{strand}\t{frame}\t"
+                       f'transcript_id "{tid}"; gene_id "{g.geneid}";')
+    if o.print_introns:
+        for it in g.introns:
+            score = fmt3(it.apostprob) if it.has_score else "."
+            out.append(f"{sn}\t{src}\tintron\t{it.begin + 1}\t{it.end + 1}\t"
+                       f"{score}\t{strand}\t.\t{parent}")
+    for e in exons:
+        if o.print_cds:
+            beginmod = endmod = 0
+            if o.stop_codon_excluded_from_cds:
+                if e.type in (ST.terminal, ST.singleG):
+                    endmod = -3
+                if is_r_terminal_exon(e.type) or e.type == ST.rsingleG:
+                    beginmod = 3
+            if e.begin + 1 + beginmod <= e.end + 1 + endmod:
+                score = fmt3(e.apostprob) if e.has_score else "."
+                frame = (mod3(3 - (e.frame() - e.length())) if strand == "+"
+                         else mod3(2 - e.frame()))
+                cdsattr = f"ID={tid}.cds;" if o.gff3 else ""
+                out.append(f"{sn}\t{src}\tCDS\t{e.begin + 1 + beginmod}\t"
+                           f"{e.end + 1 + endmod}\t{score}\t{strand}\t"
+                           f"{frame}\t{cdsattr}{parent}")
+    if exons:
+        last = exons[-1]
+        if o.print_stop and strand == "+" and last.type in (ST.terminal,
+                                                            ST.singleG):
+            out.append(f"{sn}\t{src}\tstop_codon\t{last.end - 1}\t"
+                       f"{last.end + 1}\t.\t+\t0\t{parent}")
+        if o.print_start and strand == "-" and (
+                is_initial_exon(last.type) or last.type in (
+                    ST.singleG, ST.rinitial, ST.rsingleG)):
+            out.append(f"{sn}\t{src}\tstart_codon\t{last.end - 1}\t"
+                       f"{last.end + 1}\t.\t-\t0\t{parent}")
+
+
+def print_sequences(g: Gene, codes: np.ndarray, o: OutputOptions,
+                    gcode: genetics.GeneticCode, out: List[str]) -> None:
+    cds = coding_sequence(g, codes)
+    if o.codingseq:
+        text = genetics.decode(cds)
+        line = "# coding sequence = ["
+        linelength = 100
+        cur = len(line)
+        off = 0
+        while off < len(text):
+            line += text[off: off + linelength - cur]
+            off += linelength - cur
+            if off < len(text):
+                out.append(line)
+                line = "# "
+                cur = 2
+        out.append(line + "]")
+    if o.protein:
+        trans = get_translation(cds[mod3(-g.frame):], gcode)
+        prefix = "# protein sequence = ["
+        linelength = 100
+        i = linelength - len(prefix)
+        out.append(prefix + trans[:i] + ("]" if i >= len(trans) else ""))
+        while i < len(trans):
+            chunk = trans[i: i + linelength - 2]
+            i += linelength - 2
+            out.append("# " + chunk + ("]" if i >= len(trans) else ""))
+
+
+def print_gene_list(agl: List[AltGene], codes: np.ndarray, o: OutputOptions,
+                    gcode: genetics.GeneticCode) -> str:
+    out: List[str] = []
+    for ag in agl:
+        out.append(f"# start gene {ag.id}")
+        score = fmt3(ag.apostprob) if ag.has_probs else "."
+        out.append(f"{ag.seqname}\tAUGUSTUS\tgene\t{ag.min_trans_begin() + 1}"
+                   f"\t{ag.max_trans_end() + 1}\t{score}\t{ag.strand}\t.\t"
+                   f"{'ID=' if o.gff3 else ''}{ag.id}")
+        for tx in ag.transcripts:
+            score = fmt3(tx.apostprob) if tx.has_probs else "."
+            tid = f"{ag.id}.{tx.id}"
+            idattr = (f"ID={tid};Parent={ag.id}" if o.gff3 else tid)
+            out.append(f"{ag.seqname}\tAUGUSTUS\ttranscript\t"
+                       f"{tx.gene_begin() + 1}\t{tx.gene_end() + 1}\t{score}"
+                       f"\t{tx.strand}\t.\t{idattr}")
+            print_gene_gff(tx, o, out)
+            print_sequences(tx, codes, o, gcode, out)
+        out.append(f"# end gene {ag.id}")
+        out.append("###")
+    return "\n".join(out) + ("\n" if out else "")

@@ -1,0 +1,108 @@
+"""High-level prediction driver: sequences in, GFF text out.
+
+Mirrors the reference flow augustus.cc predictOnInputSequences ->
+NAMGene::doViterbiPiecewise -> getStepGenes -> findGenes for the
+single-piece, viterbi-only case (sampling/piecewise layers come on top).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from . import genetics
+from .constants import Constants
+from .properties import Properties, init_properties
+from .model.state_config import parse_state_config, StateGraph
+from .model import pbl, gc as gcmod
+from .engine.gold import GoldEngine
+from .io.fasta import FastaRecord, read_fasta
+from .output import genes as og
+
+
+@dataclass
+class Model:
+    """A loaded species model (parameters + topology + constants)."""
+    props: Properties
+    cn: Constants
+    sg: StateGraph
+    igp: pbl.IgenicParams
+    exp: pbl.ExonParams
+    inp: pbl.IntronParams
+    decomp: gcmod.Decomposition
+    gcode: genetics.GeneticCode
+
+    @classmethod
+    def load(cls, args: dict, config_path: Optional[str] = None) -> "Model":
+        props = init_properties(args, config_path)
+        cn = Constants.from_properties(props)
+        sg = parse_state_config(props)
+        igp = pbl.read_igenic_pbl(props.species_file("_igenic_probs.pbl"),
+                                  cn.decomp_num_steps)
+        exp = pbl.read_exon_pbl(props.species_file("_exon_probs.pbl"),
+                                cn.decomp_num_steps, cn,
+                                k=props.get_int("/ExonModel/k", 4))
+        inp = pbl.read_intron_pbl(props.species_file("_intron_probs.pbl"),
+                                  cn.decomp_num_steps, cn, props)
+        decomp = gcmod.make_decomposition(cn, props)
+        table = props.get_int("translation_table", 1)
+        return cls(props=props, cn=cn, sg=sg, igp=igp, exp=exp, inp=inp,
+                   decomp=decomp, gcode=genetics.GeneticCode(table))
+
+
+def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
+                     geneid_start: int = 1) -> tuple:
+    """Predict genes on one sequence; returns (gff_text, n_genes)."""
+    cn = model.cn
+    codes = genetics.encode(rec.sequence.lower())
+    engine = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
+                        model.decomp, model.gcode)
+    engine.run(codes)
+    segments = engine.traceback()
+
+    path = og.condense_path(segments, codes.shape[0])
+    genes = og.project_onto_genes(path, cn)
+    genes = og.filter_transcripts(genes, codes, cn, model.gcode,
+                                  no_in_frame_stop=model.props.get_bool(
+                                      "noInFrameStop", False))
+    agl = og.group_transcripts(genes)
+    agl.sort(key=lambda ag: (ag.min_trans_begin(), ag.max_trans_end()))
+    gid = geneid_start
+    for ag in agl:
+        ag.id = f"g{gid}"
+        ag.seqname = rec.name
+        gid += 1
+        tid = 1
+        for tx in ag.transcripts:
+            tx.seqname = rec.name
+            tx.id = f"t{tid}"
+            tx.geneid = ag.id
+            tid += 1
+
+    o = og.OutputOptions.from_properties(model.props)
+    header = [
+        f"#",
+        f"# ----- prediction on sequence number {seq_number} "
+        f"(length = {len(rec.sequence)}, name = {rec.name}) -----",
+        f"#",
+        f"# Predicted genes for sequence number {seq_number} on both strands",
+    ]
+    body = og.print_gene_list(agl, codes, o, model.gcode)
+    if not agl:
+        body = "# (none)\n"
+    return "\n".join(header) + "\n" + body, len(agl)
+
+
+def predict_file(model: Model, path: str) -> str:
+    recs = read_fasta(path)
+    chunks = []
+    gid = 1
+    for i, rec in enumerate(recs):
+        text, ngenes = predict_sequence(model, rec, seq_number=i + 1,
+                                        geneid_start=gid)
+        gid += ngenes
+        chunks.append(text)
+    return "".join(chunks)

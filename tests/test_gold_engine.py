@@ -1,0 +1,56 @@
+"""Acceptance tests: byte-exact GFF output vs reference AUGUSTUS goldens.
+
+The golden files in tests/data/ were produced by the reference C++ binary
+(AUGUSTUS 3.5.0) with the same species parameters; comparison starts at the
+first '# ----- prediction' line and excludes the trailing command-line echo,
+matching the reference CI comparison (tests/short/utils/aug_out_filter.py).
+"""
+
+import os
+
+import pytest
+
+from conftest import REFERENCE_CONFIG, has_reference
+
+pytestmark = pytest.mark.skipif(not has_reference(),
+                                reason="reference config tree not available")
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def normalize(text: str):
+    lines = text.splitlines()
+    start = next((i for i, l in enumerate(lines)
+                  if l.startswith("# ----- prediction")), 0)
+    out = []
+    for l in lines[start:]:
+        if l.startswith("# command line") or l.startswith("# ../") or \
+                l.startswith("# /") or l.startswith("# total time"):
+            continue
+        out.append(l)
+    return out
+
+
+def run_prediction(fasta, **kw):
+    from augustus_tpu.predict import Model, predict_file
+    args = {"species": "human", "AUGUSTUS_CONFIG_PATH": REFERENCE_CONFIG,
+            "UTR": "off", "softmasking": "0"}
+    args.update(kw)
+    model = Model.load(args)
+    return predict_file(model, fasta)
+
+
+@pytest.mark.slow
+def test_example_noutr_exact():
+    got = normalize(run_prediction("/root/reference/examples/example.fa"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_noutr_example.gff")).read())
+    assert got == want
+
+
+@pytest.mark.slow
+def test_reverse_strand_exact():
+    got = normalize(run_prediction(os.path.join(DATA, "HS04636rc.fa")))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_noutr_HS04636rc.gff")).read())
+    assert got == want
