@@ -1,0 +1,823 @@
+"""Device-facing DP tracks: factorized per-state score arrays.
+
+The core TPU-first re-architecture: exon emissions factorize as
+
+    score(j, b) = Lane[eop(b)] + G[pool][class, phase, b]
+                  + H[pool][class, phase, j] + lenvec[len(j, b)]
+
+for every regime of ExonModel::notEndPartEmiProb (reference
+src/exonmodel.cc:1417-1711): the normal piecewise init/content/et case, the
+clamped short-exon cases, the tiny-pattern (Pls) case, and the overlapping
+begin/end case.  Each regime is one *conv variant*, valid on a static length
+range, so the whole exon length loop becomes a handful of banded max-plus
+convolutions — dense, maskable, TPU-friendly.
+
+The per-position "launch lanes" Lane[s, i] = max over ancestors p of
+(v[i][p] + log trans[p][s]) are precomputed by the scan as it goes; class-
+dependent transitions (into lessD/equalD, out of geometric — reference
+IntronModel::updateToLocalGC, src/intronmodel.cc:440-488) are kept out of the
+lanes and added at consumption time with the class at the consuming position,
+matching the reference's use of the current-class transition matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import genetics
+from ..constants import (Constants, ASS_MIDDLE, DSS_MIDDLE, STARTCODON_LEN,
+                         STOPCODON_LEN)
+from ..model.state_config import ST, STATE_READING_FRAMES
+from .gold import GoldEngine, exon_geometry, NEG_INF
+from . import tracks as T
+
+F32_NEG = np.float32(-1.0e30)
+LOG4 = float(np.log(4.0))
+
+
+def _f32(x) -> np.ndarray:
+    y = np.asarray(x, dtype=np.float64).copy()
+    y[~np.isfinite(y)] = float(F32_NEG)
+    return np.clip(y, float(F32_NEG), None).astype(np.float32)
+
+
+class Pool:
+    """Deduplicated array pool; variants reference arrays by index."""
+
+    def __init__(self):
+        self.arrays: List[np.ndarray] = []
+        self._keys: Dict[str, int] = {}
+
+    def add(self, key: str, builder) -> int:
+        if key not in self._keys:
+            self._keys[key] = len(self.arrays)
+            self.arrays.append(builder())
+        return self._keys[key]
+
+
+@dataclass
+class ConvVariant:
+    """One banded max-plus convolution for an exon state.
+
+    len runs over [len_lo, len_hi]; b = j + a_off - len;
+    eop = b - bpl - 1.  Score(j, len) =
+      lane(len) + G[g_id][c, phi(j), b] + H[h_id][c, phi(j), j]
+      + lenvec[len - len_lo]
+    where lane(len) is the plain lane for no-frame-check states, or the
+    frame-matched lane for internal/terminal-type states.
+    """
+    g_id: int
+    h_id: int
+    len_lo: int
+    len_hi: int
+    lenvec: np.ndarray            # (len_hi - len_lo + 1,) f32, len-ascending
+
+
+@dataclass
+class ExonConvState:
+    state: int
+    etype: int
+    bpl: int
+    a_off: int                    # len = j + a_off - b
+    phase_const: int
+    phase_sign: int               # phi(j) = (phase_const + phase_sign*j) % 3
+    frame_mode: int               # 0 none; 1 fwd (f=(win-len)%3); 2 rev
+    win: int
+    lane: int                     # first lane id (3 consecutive if frame_mode)
+    end_gate: np.ndarray          # (n,) bool
+    start_min: np.ndarray         # (n,) int32
+    start_max: np.ndarray         # (n,) int32
+    variants: List[ConvVariant] = field(default_factory=list)
+
+
+@dataclass
+class ExonPinnedState:
+    state: int
+    lane: int
+    eop: np.ndarray               # (n,) int32, -1 invalid
+    score: np.ndarray             # (C, n) f32 endPart+notEnd, -inf invalid
+
+
+@dataclass
+class FixedState:
+    state: int
+    jump: int
+    kind: int                     # 0 plain lane; 1 equalD (bare + log(1-psi));
+    #                               2 longass (laneA + bare geo lane B)
+    lane: int                     # lane id (kind2: laneA; laneB = lane+1)
+    emi: np.ndarray               # (C, n) f32
+
+
+@dataclass
+class ChainState:
+    state: int
+    emi: np.ndarray               # (C, n) f32
+
+
+@dataclass
+class LessDState:
+    state: int
+    lane: int                     # bare longdss lane
+    window: int
+    cum_id: int                   # pool id of (C, n+1) intron cumsum
+    lenvec: np.ndarray            # (window,) f32 log lenDist by eop offset:
+    #                               lenvec[w] for eop = j-1-w (w=0 nearest)
+    b_valid: np.ndarray           # (n,) bool indexed by eop
+    b_stopflag: np.ndarray        # (n,) int8 indexed by eop
+    j_gate: np.ndarray            # (n,) bool
+    j_stopsel: np.ndarray         # (n,) int8
+
+
+@dataclass
+class DPTracks:
+    n: int
+    S: int
+    n_classes: int
+    n_lanes: int
+    stairs: np.ndarray
+    log_trans: np.ndarray          # (C, S, S) f32
+    log_init: np.ndarray
+    log_term: np.ndarray
+    lane_trans: np.ndarray         # (NL, S) f32: lane l = max_p v[p]+lane_trans[l,p]
+    lane_target: np.ndarray        # (NL,) int32 target state per lane
+    log_psi: np.ndarray            # (C,) f32 log probShortIntron
+    log_1mpsi: np.ndarray          # (C,) f32 log (1 - probShortIntron)
+    log_geo_ass: np.ndarray        # (C, 3fr+3rev...) actually (C, S) f32:
+    #                                log trans[geometric_f -> longass_f] by
+    #                                TARGET state index, -inf elsewhere
+    pool: List[np.ndarray] = field(default_factory=list)
+    chain: List[ChainState] = field(default_factory=list)
+    fixed: List[FixedState] = field(default_factory=list)
+    lessd: List[LessDState] = field(default_factory=list)
+    exon_conv: List[ExonConvState] = field(default_factory=list)
+    exon_pinned: List[ExonPinnedState] = field(default_factory=list)
+    gold: GoldEngine = None
+
+
+# ---------------------------------------------------------------------------
+
+def build_tracks(eng: GoldEngine) -> DPTracks:
+    sg, cn = eng.sg, eng.cn
+    n, S = eng.n, eng.S
+    C = len(eng.inp.gc)
+    types = sg.state_types
+    sp = eng.splice
+    dsl = eng.d_state_len
+    pool = Pool()
+
+    # ---- lanes ---------------------------------------------------------
+    # lane layout: built on the fly; lane_trans rows hold log trans (class-
+    # independent) per ancestor, -inf elsewhere; "bare" lanes hold 0 at the
+    # single ancestor.
+    lane_rows: List[np.ndarray] = []
+    lane_tgt: List[int] = []
+    base_lt = sg.transitions   # linear, class-independent baseline
+
+    def new_lane(target: int, ancestors: List[int], bare: bool = False) -> int:
+        row = np.full(S, NEG_INF)
+        for p in ancestors:
+            row[p] = 0.0 if bare else (
+                np.log(base_lt[p, target]) if base_lt[p, target] > 0 else NEG_INF)
+        lane_rows.append(_f32(row))
+        lane_tgt.append(target)
+        return len(lane_rows) - 1
+
+    tr = DPTracks(n=n, S=S, n_classes=C, n_lanes=0,
+                  stairs=eng.stairs.astype(np.int32),
+                  log_trans=np.stack([_f32(lt) for lt in eng.log_trans]),
+                  log_init=_f32(eng.log_init), log_term=_f32(eng.log_term),
+                  lane_trans=None, lane_target=None,
+                  log_psi=_f32([np.log(g.prob_short_intron)
+                                for g in eng.inp.gc]),
+                  log_1mpsi=_f32([np.log(1 - g.prob_short_intron)
+                                  for g in eng.inp.gc]),
+                  log_geo_ass=None, gold=eng)
+
+    # geometric -> longass class-dependent transition, by TARGET state
+    geo_ass = np.full((C, S), NEG_INF)
+    for c in range(C):
+        ltc = eng.log_trans[c]
+        for s, t in enumerate(types):
+            if t in (ST.longass0, ST.longass1, ST.longass2,
+                     ST.rlongass0, ST.rlongass1, ST.rlongass2):
+                geo = [p for p in range(S) if types[p] in (
+                    ST.geometric0, ST.geometric1, ST.geometric2,
+                    ST.rgeometric0, ST.rgeometric1, ST.rgeometric2)
+                    and sg.transitions[p, s] > 0]
+                if geo:
+                    geo_ass[c, s] = ltc[geo[0], s]
+    tr.log_geo_ass = _f32(geo_ass)
+
+    # shared lessD/equalD bare lanes by frame-state
+    bare_dss_lane: Dict[int, int] = {}   # longdss state idx -> lane
+
+    for s, t in enumerate(types):
+        anc = [p for p in range(S) if sg.transitions[p, s] > 0]
+        if t == ST.igenic:
+            tr.chain.append(ChainState(s, np.stack(
+                [_f32(eng.ig_track[c]) for c in range(C)])))
+        elif t in (ST.geometric0, ST.geometric1, ST.geometric2,
+                   ST.rgeometric0, ST.rgeometric1, ST.rgeometric2):
+            tr.chain.append(ChainState(s, np.stack(
+                [_f32(eng.intron_f[c]) for c in range(C)])))
+        elif t in (ST.longdss0, ST.longdss1, ST.longdss2,
+                   ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
+            fwd = t in (ST.longdss0, ST.longdss1, ST.longdss2)
+            emi = np.full(n, NEG_INF)
+            j = np.arange(n)
+            src = sp.dss_score if fwd else sp.rdss_score
+            start = j - cn.dss_whole_size + 1
+            if fwd:
+                gate = T.is_possible_dss(sp.dss_ok,
+                                         j - cn.dss_end - DSS_MIDDLE + 1)
+            else:
+                gate = T.is_possible_rdss(sp.rdss_ok, j - cn.dss_start)
+            sel = (start >= 0) & gate
+            emi[sel] = src[start[sel]]
+            lane = new_lane(s, anc)
+            tr.fixed.append(FixedState(s, cn.dss_whole_size, 0, lane,
+                                       np.broadcast_to(_f32(emi),
+                                                       (C, n)).copy()))
+        elif t in (ST.longass0, ST.longass1, ST.longass2,
+                   ST.rlongass0, ST.rlongass1, ST.rlongass2):
+            fwd = t in (ST.longass0, ST.longass1, ST.longass2)
+            jump = cn.ass_whole_size + cn.ass_upwindow_size
+            j = np.arange(n)
+            start = j - jump + 1
+            if fwd:
+                gate = T.is_possible_ass(sp.ass_ok, j - cn.ass_end)
+            else:
+                gate = T.is_possible_rass(
+                    sp.rass_ok,
+                    j - cn.ass_upwindow_size - cn.ass_start - ASS_MIDDLE + 1)
+            per_c = []
+            for c in range(C):
+                emi = np.full(n, NEG_INF)
+                src = sp.ass_score[c] if fwd else sp.rass_score[c]
+                sel = (start >= 0) & gate
+                emi[sel] = src[start[sel]]
+                per_c.append(_f32(emi))
+            nongeo = [p for p in anc if types[p] not in (
+                ST.geometric0, ST.geometric1, ST.geometric2,
+                ST.rgeometric0, ST.rgeometric1, ST.rgeometric2)]
+            geo = [p for p in anc if p not in nongeo]
+            laneA = new_lane(s, nongeo)
+            laneB = new_lane(s, geo, bare=True)
+            assert laneB == laneA + 1
+            tr.fixed.append(FixedState(s, jump, 2, laneA, np.stack(per_c)))
+        elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
+                   ST.requalD0, ST.requalD1, ST.requalD2):
+            per_c = []
+            for c in range(C):
+                cum = eng.cum_intron_f[c]    # requalD also fwd (quirk)
+                emi = np.full(n, NEG_INF)
+                j = np.arange(dsl, n)
+                emi[j] = cum[j + 1] - cum[j - dsl + 1]
+                per_c.append(_f32(emi))
+            dss = anc[0]
+            if dss not in bare_dss_lane:
+                bare_dss_lane[dss] = new_lane(s, [dss], bare=True)
+            tr.fixed.append(FixedState(s, dsl, 1, bare_dss_lane[dss],
+                                       np.stack(per_c)))
+        elif t in (ST.lessD0, ST.lessD1, ST.lessD2,
+                   ST.rlessD0, ST.rlessD1, ST.rlessD2):
+            dss = anc[0]
+            if dss not in bare_dss_lane:
+                bare_dss_lane[dss] = new_lane(s, [dss], bare=True)
+            tr.lessd.append(_build_lessd(eng, s, t, bare_dss_lane[dss], pool))
+        elif t in (ST.rterminal0, ST.rterminal1, ST.rterminal2, ST.rsingleG):
+            lane = new_lane(s, anc)
+            tr.exon_pinned.append(_build_pinned(eng, s, t, lane))
+        elif sg.model_class[s] == "exonmodel":
+            fwd = (ST.singleG <= t <= ST.terminal)
+            frame_mode = 0
+            if t in (ST.internal0, ST.internal1, ST.internal2, ST.terminal):
+                frame_mode = 1
+            elif t in (ST.rinternal0, ST.rinternal1, ST.rinternal2,
+                       ST.rinitial):
+                frame_mode = 2
+            if frame_mode:
+                # 3 lanes, one per predecessor frame 0,1,2
+                lanes = []
+                for f in range(3):
+                    preds = [p for p in anc
+                             if STATE_READING_FRAMES[types[p]] == f]
+                    lanes.append(new_lane(s, preds))
+                lane = lanes[0]
+                assert lanes == [lane, lane + 1, lane + 2]
+            else:
+                lane = new_lane(s, anc)
+            tr.exon_conv.append(
+                _build_exon_conv(eng, s, t, lane, frame_mode, pool))
+        else:
+            raise NotImplementedError(f"state type {t}")
+
+    NL = len(lane_rows)
+    tr.n_lanes = NL
+    tr.lane_trans = np.stack(lane_rows)
+    tr.lane_target = np.array(lane_tgt, dtype=np.int32)
+    tr.pool = pool.arrays
+    return tr
+
+
+# ---------------------------------------------------------------------------
+
+def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
+                 pool: Pool) -> LessDState:
+    cn, n = eng.cn, eng.n
+    sp = eng.splice
+    fwd = t in (ST.lessD0, ST.lessD1, ST.lessD2)
+    C = len(eng.inp.gc)
+    cum_key = "cum_intron_f" if fwd else "cum_intron_r"
+    cum_id = pool.add(cum_key, lambda: np.stack(
+        [_f32(eng.cum_intron_f[c] if fwd else eng.cum_intron_r[c])
+         for c in range(C)]))
+
+    eops = np.arange(n)
+    begins = eops + 1
+    if fwd:
+        bbi = begins - cn.dss_end - DSS_MIDDLE
+        b_valid = ~((bbi >= 0) & ~T.is_possible_dss(sp.dss_ok, bbi))
+    else:
+        bbi = begins - cn.ass_outside
+        b_valid = ~((bbi >= 0) & ~T.is_possible_rass(sp.rass_ok, bbi))
+
+    codes = eng.codes
+    j = np.arange(n)
+    if fwd:
+        ebi = j + cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
+        j_gate = ~((ebi - ASS_MIDDLE + 1 < n - 1) &
+                   ~T.is_possible_ass(sp.ass_ok, ebi))
+    else:
+        ebi = j + cn.dss_end + DSS_MIDDLE
+        j_gate = ~((ebi - DSS_MIDDLE + 1 < n - 1) &
+                   ~T.is_possible_rdss(sp.rdss_ok, ebi))
+    guard = bbi > 1
+
+    def ch(idx):
+        out = np.full(n, genetics.N, dtype=np.int64)
+        ok = (idx >= 0) & (idx < n)
+        out[ok] = codes[idx[ok]]
+        return out
+
+    r1 = ch(ebi + 1)
+    r2 = ch(ebi + 2)
+    past = ebi >= n - 2
+    r1[past] = genetics.N
+    r2[past] = genetics.N
+    comp = genetics.COMPLEMENT
+    A, G, Tb, Nb = genetics.A, genetics.G, genetics.T, genetics.N
+    b_stop = np.zeros(n, dtype=np.int8)
+    j_sel = np.zeros(n, dtype=np.int8)
+    if t == ST.lessD1:
+        l0 = ch(bbi - 1)
+        b_stop = (guard & (l0 == Tb)).astype(np.int8)
+        j_sel = (((r1 == A) & ((r2 == A) | (r2 == G))) |
+                 ((r1 == G) & (r2 == A))).astype(np.int8)
+    elif t == ST.lessD2:
+        l0 = ch(bbi - 2)
+        l1 = ch(bbi - 1)
+        case_ta = guard & (l0 == Tb) & (l1 == A)
+        case_tg = guard & (l0 == Tb) & (l1 == G)
+        b_stop = case_ta.astype(np.int8) | (case_tg.astype(np.int8) << 1)
+        # stop iff (ta & r1 in {a,g}) | (tg & r1==a)
+        j_sel = ((r1 == A) | (r1 == G)).astype(np.int8) | \
+            ((r1 == A).astype(np.int8) << 1)
+    elif t == ST.rlessD0:
+        l1 = ch(bbi - 1)
+        l2 = ch(bbi - 2)
+        c1 = comp[np.clip(l1, 0, 4)]
+        c2 = comp[np.clip(l2, 0, 4)]
+        b_stop = (guard & (((c1 == A) & ((c2 == A) | (c2 == G))) |
+                           ((c1 == G) & (c2 == A)))).astype(np.int8)
+        cr1 = comp[np.clip(r1, 0, 4)]
+        j_sel = (cr1 == Tb).astype(np.int8)
+    elif t == ST.rlessD1:
+        l1 = ch(bbi - 1)
+        c2 = comp[np.clip(l1, 0, 4)]
+        cr1 = comp[np.clip(r1, 0, 4)]
+        cr2 = comp[np.clip(r2, 0, 4)]
+        case_ta = (cr2 == Tb) & (cr1 == A)
+        case_tg = (cr2 == Tb) & (cr1 == G)
+        b_stop = (guard & ((c2 == A) | (c2 == G))).astype(np.int8) | \
+            ((guard & (c2 == A)).astype(np.int8) << 1)
+        j_sel = case_ta.astype(np.int8) | (case_tg.astype(np.int8) << 1)
+        # NB: mapping for lessD2/rlessD1: stop iff
+        #   (j_sel bit0 & b_stop bit0) ... see kernel `_lessd_stop_mask`
+
+    dsl = eng.d_state_len
+    # length = ebi - bbi + 1 = (j - eop) + len_add with
+    if fwd:
+        len_add = (cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
+                   + cn.dss_end + DSS_MIDDLE + 1)
+    else:
+        len_add = cn.dss_end + DSS_MIDDLE + cn.ass_outside + 1
+    # lenvec[w] for eop = j-1-w: length = w + 1 + len_add
+    lv = np.full(dsl, NEG_INF)
+    for w in range(dsl):
+        ln = w + 1 + len_add
+        if 0 <= ln <= eng.inp.d:
+            lv[w] = eng.log_len_intron[ln]
+    return LessDState(state=s, lane=lane, window=dsl, cum_id=cum_id,
+                      lenvec=_f32(lv), b_valid=b_valid, b_stopflag=b_stop,
+                      j_gate=j_gate, j_stopsel=j_sel)
+
+
+# ---------------------------------------------------------------------------
+
+def _lessd_stop_combine(t_is_two_case: bool):
+    """Document how b_stopflag and j_stopsel combine to a 'stop spliced' bool:
+    one-case types (lessD1, rlessD0): stop = b_stop & j_sel.
+    two-case types (lessD2, rlessD1): stop = (b&1 and j&1) or (b>>1 and j>>1)
+    — see kernel."""
+
+
+# ---------------------------------------------------------------------------
+
+def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int
+                  ) -> ExonPinnedState:
+    """rterminal*/rsingleG: single begin candidate b = ORFleft+2 per j
+    (reference exonmodel.cc:1044).  Fully precomputed on the host using the
+    gold engine's exact _not_end_part."""
+    cn, n = eng.cn, eng.n
+    g = eng.geom[t]
+    C = len(eng.inp.gc)
+    j = np.arange(n)
+
+    if t == ST.rsingleG:
+        ends = [np.asarray(eng.tis_end_rev[c]) for c in range(C)]
+    else:
+        asspos = j + cn.ass_end + 1
+        gate = (j == n - 1) | ((j + cn.ass_end + ASS_MIDDLE < n) &
+                               T.is_possible_rass(eng.splice.rass_ok, asspos))
+        end = np.where(gate, 0.0, NEG_INF)
+        ends = [end for _ in range(C)]
+
+    end_any = np.maximum.reduce(ends) > NEG_INF
+    feas = np.flatnonzero(end_any)
+
+    eop_arr = np.full(n, -1, dtype=np.int32)
+    score = np.full((C, n), NEG_INF)
+    for jj in feas.tolist():
+        end_of_bio = jj + g.base_offset
+        right = end_of_bio - g.inner_part_end_offset
+        if right < 0:
+            continue
+        frame_of_right = (g.win + end_of_bio + 1 - right) % 3
+        eon = min(end_of_bio, n - 1)
+        f_eon = (g.win + 1 + end_of_bio - eon) % 3
+        orf_left = int(T.leftmost_exon_begin(eng.orf, f_eon, eon, False,
+                                             cn, n))
+        b = orf_left + 2
+        eop = b - g.begin_part_len - 1
+        if eop >= n:
+            continue
+        bs = np.array([b])
+        for c in range(C):
+            if ends[c][jj] == NEG_INF:
+                continue
+            val = eng._not_end_part(t, c, g, bs, right, frame_of_right)[0]
+            if val > NEG_INF:
+                score[c, jj] = val + ends[c][jj]
+        if (score[:, jj] > NEG_INF).any():
+            eop_arr[jj] = eop
+    return ExonPinnedState(state=s, lane=lane, eop=eop_arr,
+                           score=_f32(score))
+
+
+# ---------------------------------------------------------------------------
+
+def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
+                     frame_mode: int, pool: Pool) -> ExonConvState:
+    """Build conv variants for one exon state.
+
+    G pool arrays: (C, 3, n) phase-indexed over b (or (C, 1, n) when
+    phase-free); H pool arrays: (C, n) — already evaluated at the phase
+    phi(j), which is a pure function of j for a fixed state.
+    """
+    cn, n = eng.cn, eng.n
+    g = eng.geom[t]
+    k = eng.exp.k
+    C = len(eng.inp.gc)
+    sp = eng.splice
+    codes = eng.codes
+    log_nc = float(np.log(cn.prob_n_in_coding))
+    fwd = g.forward
+    initL, etL = cn.init_coding_len, cn.et_coding_len
+
+    ro = g.base_offset - g.inner_part_end_offset           # right = j + ro
+    a_off = g.base_offset + g.inner_part_offset + 1        # len = j+a_off-b
+    if fwd:
+        frc = (g.win - 1 - g.inner_part_end_offset) % 3
+        phase_const, phase_sign = (frc - ro) % 3, -1       # phi=(pc - j)%3
+    else:
+        frc = (g.win + 1 + g.inner_part_end_offset) % 3
+        phase_const, phase_sign = (frc + ro) % 3, +1       # phi=(pc + j)%3
+
+    m2len = g.inner_part_offset + g.inner_part_end_offset + 1
+
+    b = np.arange(n)
+    j = np.arange(n)
+    right = j + ro
+    phi_j = (phase_const + phase_sign * j) % 3             # (n,)
+
+    cums = {name: [eng.cum_exon[(c, name, fwd)] for c in range(C)]
+            for name in ("emi", "init", "et")}
+
+    def catb(name, idx):
+        """(C, 3, len(idx)): cum[name][c][:, clip(idx)] — for G (b-indexed)."""
+        idx = np.clip(idx, 0, n)
+        return np.stack([cums[name][c][:, idx] for c in range(C)])
+
+    def catj(name, idx):
+        """(C, len(idx)): cum at the j-phase — for H."""
+        idx = np.clip(idx, 0, n)
+        return np.stack([cums[name][c][phi_j, idx] for c in range(C)])
+
+    # ---------------- begin-part track over b ---------------------------
+    bob = b - g.inner_part_offset
+    begin_list = []
+    for c in range(C):
+        if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
+            bt = np.where((bob >= 0) & (bob < n),
+                          eng.tis_begin_fwd[c][np.clip(bob, 0, n - 1)],
+                          NEG_INF)
+        elif t in (ST.terminal, ST.internal0, ST.internal1, ST.internal2):
+            shortcut = (bob < 0) | ((bob - ASS_MIDDLE >= 0) &
+                                    ~T.is_possible_ass(sp.ass_ok, bob - 1))
+            bt = np.where(b > 0, np.where(shortcut, NEG_INF, 0.0),
+                          np.where(b == 0, 0.0, NEG_INF))
+        else:   # rinitial, rinternal*
+            blocked = (bob < 0) | ((bob - DSS_MIDDLE > 0) &
+                                   ~T.is_possible_rdss(sp.rdss_ok, bob - 1))
+            bt = np.where(b == 0, 0.0, np.where(blocked, NEG_INF, 0.0))
+        begin_list.append(bt)
+    begin_arr = np.stack(begin_list)                       # (C, n)
+    begin_key = {
+        ST.singleG: "tis", ST.initial0: "tis", ST.initial1: "tis",
+        ST.initial2: "tis", ST.terminal: "ass", ST.internal0: "ass",
+        ST.internal1: "ass", ST.internal2: "ass", ST.rinitial: "rdss",
+        ST.rinternal0: "rdss", ST.rinternal1: "rdss", ST.rinternal2: "rdss",
+    }[t]
+
+    # ---------------- end gate / endPart over j -------------------------
+    end_part = np.zeros((C, n))
+    if t in (ST.singleG, ST.terminal):
+        for c in range(C):
+            end_part[c] = eng.end_stop_fwd
+    elif t == ST.rinitial:
+        for c in range(C):
+            end_part[c] = eng.tis_end_rev[c]
+    elif t in (ST.initial0, ST.initial1, ST.initial2,
+               ST.internal0, ST.internal1, ST.internal2):
+        dsspos = j + cn.dss_start + 1
+        gate = np.full(n, NEG_INF)
+        gate[n - 1] = 0.0
+        mid = (j < n - 1) & ~(((dsspos + DSS_MIDDLE - 1 < n) &
+                               ~T.is_possible_dss(sp.dss_ok, dsspos)) |
+                              (j + cn.dss_start >= n))
+        for jj in np.flatnonzero(mid).tolist():
+            lmb = T.leftmost_exon_begin_raw(eng.orf, g.win - 1,
+                                            jj + cn.dss_start, True, cn, n)
+            if lmb < jj:
+                gate[jj] = 0.0
+        for c in range(C):
+            end_part[c] = gate
+    else:   # rinternal*
+        asspos = j + cn.ass_end + 1
+        gate = np.full(n, NEG_INF)
+        gate[n - 1] = 0.0
+        mid = (j < n - 1) & (j + cn.ass_end + ASS_MIDDLE < n) & \
+            T.is_possible_rass(sp.rass_ok, asspos)
+        gate[mid] = 0.0
+        for c in range(C):
+            end_part[c] = gate
+    end_gate = (end_part > NEG_INF).any(axis=0)
+
+    # ---------------- length distribution -------------------------------
+    kind = {ST.singleG: "single", ST.initial0: "initial",
+            ST.initial1: "initial", ST.initial2: "initial",
+            ST.rinitial: "initial", ST.terminal: "terminal"}.get(t, "internal")
+    base_ld = eng.log_len_exon[kind] + np.log(3.0)
+    maxlen = base_ld.shape[0] - 1
+    ld = base_ld.copy()
+    l = np.arange(maxlen + 1)
+    if t == ST.singleG:
+        ld[(l % 3) != 0] = NEG_INF
+    elif t in (ST.initial0, ST.initial1, ST.initial2):
+        ld[((l % 3) != g.win) | (l <= 2)] = NEG_INF
+    elif t == ST.rinitial:
+        ld[l <= 2] = NEG_INF
+    ld[0] = NEG_INF
+
+    variants: List[ConvVariant] = []
+    state_tag = str(int(t))
+
+    def add_variant(gid, hid, m_lo, m_hi):
+        len_lo, len_hi = m_lo + m2len, m_hi + m2len
+        len_lo = max(len_lo, 1)
+        len_hi = min(len_hi, maxlen)
+        if len_lo > len_hi:
+            return
+        lv = ld[len_lo: len_hi + 1]
+        variants.append(ConvVariant(g_id=gid, h_id=hid, len_lo=len_lo,
+                                    len_hi=len_hi, lenvec=_f32(lv)))
+
+    def initpat_fwd_c(c):
+        ids = genetics.kmer_ids(codes, k)
+        out = np.full((3, n), k * log_nc)
+        sel = np.arange(ids.shape[0])
+        ok = ids >= 0
+        pls = eng.exp.gc[c].pls[k - 1]
+        for phi in range(3):
+            frame_ip = (phi + sel + k - 1) % 3
+            vals = np.where(ok, pls[frame_ip, np.where(ok, ids, 0)], 0.0)
+            out[phi, : ids.shape[0]] = np.where(
+                ok, np.where(vals > 0,
+                             np.log(np.maximum(vals, 1e-300)), NEG_INF),
+                k * log_nc)
+        return out
+
+    def initpat_rev_c(c):
+        rids = genetics.rc_kmer_ids(codes, k)
+        out = np.full((3, n), k * log_nc)
+        sel = np.arange(rids.shape[0])
+        ok = rids >= 0
+        pls = eng.exp.gc[c].pls[k - 1]
+        for phi in range(3):
+            frame_ip = (phi - sel) % 3
+            vals = np.where(ok, pls[frame_ip, np.where(ok, rids, 0)], 0.0)
+            out[phi, : rids.shape[0]] = np.where(
+                ok, np.where(vals > 0,
+                             np.log(np.maximum(vals, 1e-300)), NEG_INF),
+                k * log_nc)
+        return out
+
+    def micro_track(m):
+        """(C, n) log Pls[m] value of the pattern [right-m, right] at the
+        state's constant frame(+m on reverse), plus endPart."""
+        per_c = []
+        if fwd:
+            ids = genetics.kmer_ids(codes, m + 1)
+            frame = frc
+        else:
+            ids = genetics.rc_kmer_ids(codes, m + 1)
+            frame = (frc + m) % 3
+        ok = ids >= 0
+        for c in range(C):
+            plsm = eng.exp.gc[c].pls[m][frame]
+            vv = np.where(ok, plsm[np.where(ok, ids, 0)], 0.0)
+            v2 = np.where(ok, np.where(vv > 0,
+                                       np.log(np.maximum(vv, 1e-300)),
+                                       NEG_INF), (m + 1) * log_nc)
+            track = np.full(n, NEG_INF)
+            pstart = right - m
+            okr = (pstart >= 0) & (pstart <= n - (m + 1))
+            track[okr] = v2[pstart[okr]]
+            per_c.append(track + end_part[c])
+        return _f32(np.stack(per_c))
+
+    gid_begin = pool.add(f"G_begin_{begin_key}",
+                         lambda: _f32(begin_arr[:, None, :]))
+    gid_over = pool.add(f"G_over_{begin_key}", lambda: _f32(
+        begin_arr[:, None, :] + (b * LOG4)[None, None, :]))
+    hid_over = pool.add(f"H_over_{ro}_{state_tag}", lambda: _f32(
+        end_part + (-(right + 1) * LOG4)[None, :]))
+
+    if fwd:
+        initpat_id = pool.add("initpat_fwd", lambda: _f32(
+            np.stack([initpat_fwd_c(c) for c in range(C)])))
+        initpat = pool.arrays[initpat_id]   # (C,3,n) f32
+
+        if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
+            gid_main = pool.add(f"G_fwd_ini_{begin_key}", lambda: _f32(
+                initpat.astype(np.float64) + catb("init", b + k + initL)
+                - catb("init", b + k) - catb("emi", b + k + initL)
+                + begin_arr[:, None, :]))
+            gid_ti = pool.add(f"G_fwd_initrunc_{begin_key}", lambda: _f32(
+                initpat.astype(np.float64) - catb("init", b + k)
+                + begin_arr[:, None, :]))
+        else:
+            gid_main = pool.add(f"G_fwd_int_{begin_key}", lambda: _f32(
+                initpat.astype(np.float64) - catb("emi", b + k)
+                + begin_arr[:, None, :]))
+            gid_ti = None
+
+        def h_et():
+            bot = right - etL + 1
+            return _f32(catj("emi", bot) + catj("et", right + 1)
+                        - catj("et", bot) + end_part)
+
+        def h_e():
+            return _f32(catj("emi", right + 1) + end_part)
+
+        def h_i():
+            return _f32(catj("init", right + 1) + end_part)
+
+        if t in (ST.initial0, ST.initial1, ST.initial2):
+            hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et)
+            hid_noet = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
+            hid_initr = pool.add(f"H_fwd_i_{ro}_{state_tag}", h_i)
+            add_variant(gid_over, hid_over, -m2len + 1, -1)
+            add_variant(gid_ti, hid_initr, k + 1, k + initL - 2)
+            add_variant(gid_main, hid_noet, k + initL - 1,
+                        k + initL + etL - 2)
+            add_variant(gid_main, hid_main, k + initL + etL - 1,
+                        maxlen - m2len)
+        elif t == ST.singleG:
+            hid_e = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
+            hid_i = pool.add(f"H_fwd_i_{ro}_{state_tag}", h_i)
+            add_variant(gid_over, hid_over, -m2len + 1, -1)
+            add_variant(gid_ti, hid_i, k + 1, k + initL - 2)
+            add_variant(gid_main, hid_e, k + initL - 1, maxlen - m2len)
+        elif t in (ST.internal0, ST.internal1, ST.internal2):
+            hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et)
+            hid_noet = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
+            add_variant(gid_over, hid_over, -m2len + 1, -1)
+            add_variant(gid_main, hid_noet, k + 1, k + etL - 2)
+            add_variant(gid_main, hid_main, k + etL - 1, maxlen - m2len)
+        else:   # terminal
+            hid_e = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
+            add_variant(gid_over, hid_over, -m2len + 1, -1)
+            add_variant(gid_main, hid_e, k + 1, maxlen - m2len)
+    else:
+        initpat_rev_id = pool.add("initpat_rev", lambda: _f32(
+            np.stack([initpat_rev_c(c) for c in range(C)])))
+        initpat_rev = pool.arrays[initpat_rev_id]
+
+        binp = right - (k - 1)
+
+        def ipb():
+            out = np.full((C, n), NEG_INF)
+            ok = (binp >= 0) & (binp < n)
+            out[:, ok] = initpat_rev[
+                np.arange(C)[:, None], phi_j[None, ok], binp[None, ok]]
+            return out.astype(np.float64)
+
+        gid_et = pool.add(f"G_rev_et_{begin_key}", lambda: _f32(
+            catb("et", b + etL) - catb("et", b) - catb("emi", b + etL)
+            + begin_arr[:, None, :]))
+        gid_plain = pool.add(f"G_rev_plain_{begin_key}", lambda: _f32(
+            -catb("emi", b) + begin_arr[:, None, :]))
+        gid_i2 = pool.add(f"G_rev_init2_{begin_key}", lambda: _f32(
+            -catb("init", b) + begin_arr[:, None, :]))
+
+        if t == ST.rinitial:
+            def h_rini():
+                binit = binp - initL
+                return _f32(ipb() + catj("init", binp) - catj("init", binit)
+                            + catj("emi", binit) + end_part)
+
+            def h_rinit2():
+                return _f32(ipb() + catj("init", binp) + end_part)
+
+            hid_main = pool.add(f"H_rini_{ro}_{state_tag}", h_rini)
+            hid_i2 = pool.add(f"H_rinit2_{ro}_{state_tag}", h_rinit2)
+            add_variant(gid_over, hid_over, -m2len + 1, -1)
+            add_variant(gid_i2, hid_i2, k + 1, k + initL - 2)
+            add_variant(gid_plain, hid_main, k + initL - 1,
+                        k + initL + etL - 2)
+            add_variant(gid_et, hid_main, k + initL + etL - 1,
+                        maxlen - m2len)
+        else:   # rinternal*
+            def h_rint():
+                return _f32(ipb() + catj("emi", binp) + end_part)
+
+            hid_main = pool.add(f"H_rint_{ro}_{state_tag}", h_rint)
+            add_variant(gid_over, hid_over, -m2len + 1, -1)
+            add_variant(gid_plain, hid_main, k + 1, k + etL - 2)
+            add_variant(gid_et, hid_main, k + etL - 1, maxlen - m2len)
+
+    for m in range(0, k + 1):
+        strand_tag = "f" if fwd else "r"
+        frame_tag = frc if fwd else (frc + m) % 3
+        hid_m = pool.add(f"H_micro_{strand_tag}_{frame_tag}_{m}_{ro}_"
+                         f"{state_tag}", lambda m=m: micro_track(m))
+        add_variant(gid_begin, hid_m, m, m)
+
+    variants.sort(key=lambda v: v.len_lo)
+
+    # ---------------- start bounds --------------------------------------
+    eon = right + g.inner_part_end_offset
+    if t in (ST.terminal, ST.singleG):
+        eon = eon - STOPCODON_LEN
+    eon = np.minimum(eon, n - 1)
+    if fwd:
+        f_eon = (g.win - 1 - (j + g.base_offset) + eon) % 3
+    else:
+        f_eon = (g.win + 1 + (j + g.base_offset) - eon) % 3
+    orf_left = T.leftmost_exon_begin(eng.orf, f_eon, eon, fwd, cn,
+                                     n).astype(np.int64)
+    smax = (j + g.base_offset) + g.inner_part_offset - cn.min_exon_length + 1
+    smax = np.minimum(smax, j + g.begin_part_len)
+    smin = np.where(orf_left <= 0, 0, orf_left + g.inner_part_offset)
+
+    return ExonConvState(
+        state=s, etype=int(t), bpl=g.begin_part_len, a_off=a_off,
+        phase_const=phase_const, phase_sign=phase_sign,
+        frame_mode=frame_mode, win=g.win, lane=lane,
+        end_gate=end_gate, start_min=smin.astype(np.int32),
+        start_max=smax.astype(np.int32), variants=variants)

@@ -159,7 +159,7 @@ class GoldEngine:
 
         k = self.exp.k
         log_n_coding = float(np.log(cn.prob_n_in_coding))
-        classes = sorted(set(self.stairs.tolist()))
+        classes = list(range(len(self.inp.gc)))
         self.classes = classes
 
         # content tracks per class
