@@ -37,6 +37,12 @@ from . import tracks as T
 F32_NEG = np.float32(-1.0e30)
 LOG4 = float(np.log(4.0))
 
+# fast-path cap on the banded exon convolution window: exons longer than this
+# are not found by the device engines (the explicit length distribution ends
+# at exonLenD=3000 for human; beyond it only a tiny geometric tail remains).
+# The gold engine has no cap.  Chosen 0 mod 8 + small margins for tiling.
+CONV_CAP = 3040
+
 
 def _f32(x) -> np.ndarray:
     y = np.asarray(x, dtype=np.float64).copy()
@@ -619,7 +625,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     def add_variant(gid, hid, m_lo, m_hi):
         len_lo, len_hi = m_lo + m2len, m_hi + m2len
         len_lo = max(len_lo, 1)
-        len_hi = min(len_hi, maxlen)
+        len_hi = min(len_hi, maxlen, CONV_CAP)
         if len_lo > len_hi:
             return
         lv = ld[len_lo: len_hi + 1]

@@ -1,26 +1,27 @@
 """JAX scan DP engine (single-chip fast path).
 
 Runs the semi-Markov Viterbi as one `jax.lax.scan` over sequence positions.
-Per position the work is fully vectorized:
+Per position the work is fully vectorized; all per-position scalar tracks
+(emissions of chain/fixed states, H factors, gates, bounds, the GC class) are
+consolidated on the host into a single (n, NS) float table and a (n, NI)
+int table, so each step issues exactly two contiguous row reads plus the
+banded window slices.  The GC-content class is baked into every per-position
+scalar at build time (the reference switches parameter sets at class
+boundaries — src/namgene.cc:244-247 — which is a pure function of position).
 
-  * chain states — dense (S,) max over the previous column,
-  * fixed-length intron states — one lane read at j-D,
-  * lessD introns — masked window max over the launch-lane buffer,
-  * exon states — a list of banded max-plus convolutions (see
-    engine/device.py) over the lane buffer, G tracks, and length
-    distributions, gated by per-position end-signal feasibility.
+The engine is split into STATIC structure (hashable, baked into the compiled
+function) and ARRAY inputs (a pytree), so the compiled function can be
+vmapped / shard_mapped over a batch of sequence chunks.
 
-Numerics are float32 in log space; scores are renormalized implicitly by the
-bounded dependency window.  The backtracked path is re-scored on the host if
-an exact path probability is needed.  The gold engine (engine/gold.py,
-float64) is the parity oracle; this engine matches it everywhere except
-float near-ties.
+Numerics are float32 log space.  The gold engine (engine/gold.py, float64)
+is the parity oracle; this engine matches it except on float near-ties and
+exons longer than the convolution cap (engine/device.py CONV_CAP).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -28,127 +29,266 @@ import jax
 import jax.numpy as jnp
 
 from ..model.state_config import ST
-from .device import DPTracks, F32_NEG, ConvVariant, ExonConvState
+from .device import DPTracks, F32_NEG
 
 NEG = jnp.float32(F32_NEG)
-GATE = jnp.float32(-1.0e29)    # validity threshold (scores above are real)
+GATE = jnp.float32(-1.0e29)
 
-# lane-buffer front padding: must cover the widest conv window so dynamic
-# slices never clamp; rows [0, PAD] replicate position-0 lanes so any eop <= 0
-# reads the initial column (reference uses viterbi[0] when endOfPred < 0,
-# src/exonmodel.cc:1066).  Set per-engine from max_exon_len.
 END_PAD = 64
 
 
-def _prep_variant(ecs: ExonConvState, var: ConvVariant):
-    """Static per-variant constants for the kernel."""
-    width = var.len_hi - var.len_lo + 1
-    # window in ascending b: w' = 0 .. width-1, b = b_lo + w',
-    # len(w') = len_hi - w', b_lo = j + a_off - len_hi
-    lenvec_desc = np.asarray(var.lenvec[::-1], dtype=np.float32)
-    if ecs.frame_mode == 0:
-        fsel = None
-    else:
-        if ecs.frame_mode == 1:
-            r0 = (ecs.win - var.len_hi) % 3
-            f = (r0 + np.arange(width)) % 3
+@dataclass(frozen=True)
+class VariantStatic:
+    g_id: int                 # row in G_all
+    h_col: int                # column in the scalar table
+    len_lo: int
+    len_hi: int
+    width: int
+    fsel: Optional[tuple]
+
+
+@dataclass(frozen=True)
+class ConvStatic:
+    state: int
+    bpl: int
+    a_off: int
+    lane: int
+    frame_mode: int
+    smin_col: int             # int-table columns
+    smax_col: int
+    gate_col: int
+    variants: Tuple[VariantStatic, ...]
+
+
+@dataclass(frozen=True)
+class ChainStatic:
+    state: int
+    emi_col: int
+
+
+@dataclass(frozen=True)
+class FixedStatic:
+    state: int
+    jump: int
+    kind: int
+    lane: int
+    emi_col: int
+    extra_col: int            # kind1: log(1-psi); kind2: log geo->ass; else -1
+
+
+@dataclass(frozen=True)
+class LessDStatic:
+    state: int
+    lane: int
+    window: int
+    cum_id: int               # row in cum_all
+    cumj_col: int             # scalar col: cum[c(j), j+1]
+    psi_col: int              # scalar col: log psi[c(j)]
+    jsel_col: int             # int col
+    jgate_col: int            # int col
+    lenvec_key: str
+
+
+@dataclass(frozen=True)
+class PinnedStatic:
+    state: int
+    lane: int
+    score_col: int
+    eop_col: int              # int col
+
+
+@dataclass(frozen=True)
+class ScanStatic:
+    n: int
+    S: int
+    NL: int
+    C: int
+    PAD: int
+    GPAD: int
+    NSC: int
+    NIC: int
+    chain: Tuple[ChainStatic, ...]
+    fixed: Tuple[FixedStatic, ...]
+    lessd: Tuple[LessDStatic, ...]
+    pinned: Tuple[PinnedStatic, ...]
+    convs: Tuple[ConvStatic, ...]
+    cls_col: int              # int col of the GC class
+
+
+def split_tracks(tr: DPTracks):
+    """(static, arrays) decomposition with scalar-table consolidation."""
+    maxlen = tr.gold.exp.len_dist["internal"].shape[0] - 1
+    GPAD = maxlen + 64
+    PAD = GPAD
+    C = tr.n_classes
+    n = tr.n
+    cls = tr.stairs.astype(np.int64)
+    pos = np.arange(n)
+
+    scal_cols: List[np.ndarray] = []
+    int_cols: List[np.ndarray] = []
+
+    def scol(values: np.ndarray) -> int:
+        scal_cols.append(np.asarray(values, dtype=np.float32))
+        return len(scal_cols) - 1
+
+    def icol(values: np.ndarray) -> int:
+        int_cols.append(np.asarray(values, dtype=np.int32))
+        return len(int_cols) - 1
+
+    cls_col = icol(cls)
+
+    arrays: Dict[str, object] = {}
+    arrays["log_trans"] = tr.log_trans
+    arrays["log_init"] = tr.log_init
+    arrays["log_term"] = tr.log_term
+    arrays["lane_trans"] = tr.lane_trans
+
+    # ---- chain / fixed -------------------------------------------------
+    chain_s = tuple(ChainStatic(cs.state, scol(cs.emi[cls, pos]))
+                    for cs in tr.chain)
+    fixed_s = []
+    for fs in tr.fixed:
+        extra = -1
+        if fs.kind == 1:
+            extra = scol(tr.log_1mpsi[cls])
+        elif fs.kind == 2:
+            extra = scol(tr.log_geo_ass[cls, fs.state])
+        fixed_s.append(FixedStatic(fs.state, fs.jump, fs.kind, fs.lane,
+                                   scol(fs.emi[cls, pos]), extra))
+
+    # ---- pool partition ------------------------------------------------
+    g_ids, cum_ids = [], []
+    for ecs in tr.exon_conv:
+        for var in ecs.variants:
+            if var.g_id not in g_ids:
+                g_ids.append(var.g_id)
+    for ls in tr.lessd:
+        if ls.cum_id not in cum_ids:
+            cum_ids.append(ls.cum_id)
+    g_map = {pid: i for i, pid in enumerate(g_ids)}
+    cum_map = {pid: i for i, pid in enumerate(cum_ids)}
+
+    def pad_last(arr, fill=F32_NEG):
+        front = arr.shape[:-1] + (GPAD,)
+        back = arr.shape[:-1] + (END_PAD,)
+        return np.concatenate(
+            [np.full(front, fill, dtype=arr.dtype), arr,
+             np.full(back, fill, dtype=arr.dtype)], axis=-1)
+
+    G_list = []
+    for pid in g_ids:
+        a = tr.pool[pid]
+        if a.shape[1] == 1:
+            a = np.broadcast_to(a, (a.shape[0], 3, a.shape[2]))
+        if a.shape[0] == 1:
+            a = np.broadcast_to(a, (C,) + a.shape[1:])
+        G_list.append(pad_last(np.ascontiguousarray(a)))
+    arrays["G_all"] = np.stack(G_list) if G_list else \
+        np.zeros((0, C, 3, GPAD + n + END_PAD), np.float32)
+    arrays["cum_all"] = np.stack(
+        [pad_last(tr.pool[pid]) for pid in cum_ids]) if cum_ids else \
+        np.zeros((0, C, GPAD + n + 1 + END_PAD), np.float32)
+
+    # H factors become scalar columns (class baked in)
+    h_cols: Dict[int, int] = {}
+
+    def h_col(pid: int) -> int:
+        if pid not in h_cols:
+            a = tr.pool[pid]
+            if a.shape[0] == 1:
+                vals = a[0]
+            else:
+                vals = a[cls, pos]
+            h_cols[pid] = scol(vals)
+        return h_cols[pid]
+
+    # ---- lessD ---------------------------------------------------------
+    lessd_s = []
+    for li, ls in enumerate(tr.lessd):
+        cum = tr.pool[ls.cum_id]      # (C, n+1)
+        cumj = cum[cls, pos + 1]
+        lessd_s.append(LessDStatic(
+            state=ls.state, lane=ls.lane, window=ls.window,
+            cum_id=cum_map[ls.cum_id], cumj_col=scol(cumj),
+            psi_col=scol(tr.log_psi[cls]),
+            jsel_col=icol(ls.j_stopsel), jgate_col=icol(ls.j_gate),
+            lenvec_key=f"lessd{li}_lenvec"))
+        arrays[f"lessd{li}_lenvec"] = ls.lenvec[::-1].copy()
+        arrays[f"lessd{li}_bvalid"] = np.concatenate(
+            [np.zeros(PAD, np.int8), ls.b_valid.astype(np.int8),
+             np.zeros(END_PAD, np.int8)])
+        arrays[f"lessd{li}_bstop"] = np.concatenate(
+            [np.zeros(PAD, np.int8), ls.b_stopflag,
+             np.zeros(END_PAD, np.int8)])
+
+    # ---- pinned --------------------------------------------------------
+    pinned_s = tuple(PinnedStatic(
+        state=ps.state, lane=ps.lane,
+        score_col=scol(ps.score[cls, pos]), eop_col=icol(ps.eop))
+        for ps in tr.exon_pinned)
+
+    # ---- convs ---------------------------------------------------------
+    convs = []
+    for ei, ecs in enumerate(tr.exon_conv):
+        win = tr.gold.geom[ST(ecs.etype)].win
+        vs = []
+        for vi, var in enumerate(ecs.variants):
+            width = var.len_hi - var.len_lo + 1
+            if ecs.frame_mode == 0:
+                fsel = None
+            elif ecs.frame_mode == 1:
+                r0 = (win - var.len_hi) % 3
+                fsel = tuple(int((r0 + w) % 3) for w in range(width))
+            else:
+                r0 = (win + var.len_hi) % 3
+                fsel = tuple(int((r0 - w) % 3) for w in range(width))
+            vs.append(VariantStatic(g_id=g_map[var.g_id],
+                                    h_col=h_col(var.h_id),
+                                    len_lo=var.len_lo, len_hi=var.len_hi,
+                                    width=width, fsel=fsel))
+            arrays[f"lenvec{ei}_{vi}"] = var.lenvec[::-1].copy()
+        # phi(j) and the end gate packed into one int column
+        if ecs.phase_sign < 0:
+            phi = (ecs.phase_const - pos) % 3
         else:
-            r0 = (ecs.win + var.len_hi) % 3
-            f = (r0 - np.arange(width)) % 3
-        fsel = f.astype(np.int32)     # (width,) required pred frame
-    return width, lenvec_desc, fsel
+            phi = (ecs.phase_const + pos) % 3
+        convs.append(ConvStatic(
+            state=ecs.state, bpl=ecs.bpl, a_off=ecs.a_off, lane=ecs.lane,
+            frame_mode=ecs.frame_mode,
+            smin_col=icol(ecs.start_min), smax_col=icol(ecs.start_max),
+            gate_col=icol(ecs.end_gate.astype(np.int32) +
+                          (phi.astype(np.int32) << 1)),
+            variants=tuple(vs)))
+
+    arrays["scalar_table"] = np.stack(scal_cols, axis=1)    # (n, NSC)
+    arrays["int_table"] = np.stack(int_cols, axis=1)        # (n, NIC)
+
+    static = ScanStatic(
+        n=n, S=tr.S, NL=tr.n_lanes, C=C, PAD=PAD, GPAD=GPAD,
+        NSC=len(scal_cols), NIC=len(int_cols),
+        chain=chain_s, fixed=tuple(fixed_s), lessd=tuple(lessd_s),
+        pinned=pinned_s, convs=tuple(convs), cls_col=cls_col)
+    return static, arrays
 
 
-class ScanEngine:
-    """Compiled scan DP over one sequence's DPTracks."""
+def make_scan_fn(st: ScanStatic):
+    """Build the pure scan function fn(arrays, v0) -> (v_final, backptrs)."""
+    n, S, NL, PAD, GPAD = st.n, st.S, st.NL, st.PAD, st.GPAD
 
-    def __init__(self, tracks: DPTracks):
-        self.tracks = tracks
-        tr = tracks
-        n, S, NL = tr.n, tr.S, tr.n_lanes
-        self.n, self.S, self.NL = n, S, NL
-
-        # pool arrays padded front+back so window slices never clamp:
-        # G pools are indexed by b + GPAD
-        self.GPAD = tr.gold.exp.len_dist["internal"].shape[0] + 64
-        self.PAD = self.GPAD
-        pool_padded = []
-        for arr in tr.pool:
-            front = arr.shape[:-1] + (self.GPAD,)
-            back = arr.shape[:-1] + (END_PAD,)
-            pool_padded.append(np.concatenate(
-                [np.full(front, F32_NEG, dtype=arr.dtype), arr,
-                 np.full(back, F32_NEG, dtype=arr.dtype)], axis=-1))
-        self.pool = [jnp.asarray(a) for a in pool_padded]
-
-        self.static = {}
-        for ecs in tr.exon_conv:
-            self.static[ecs.state] = [
-                _prep_variant(ecs, v) for v in ecs.variants]
-
-        self._scan = jax.jit(self._build_scan())
-
-    # ------------------------------------------------------------------
-    def _build_scan(self):
-        tr = self.tracks
-        n, S, NL = self.n, self.S, self.NL
-        C = tr.n_classes
-        GPAD = self.GPAD
-        pool = self.pool
-
-        PAD = self.PAD
-        stairs = jnp.asarray(tr.stairs)
-        log_trans = jnp.asarray(tr.log_trans)          # (C, S, S)
-        lane_trans = jnp.asarray(tr.lane_trans)        # (NL, S)
-        log_psi = jnp.asarray(tr.log_psi)
-        log_1mpsi = jnp.asarray(tr.log_1mpsi)
-        log_geo_ass = jnp.asarray(tr.log_geo_ass)      # (C, S)
-
-        chain_states = [cs.state for cs in tr.chain]
-        chain_emi = jnp.asarray(np.stack([cs.emi for cs in tr.chain]))
-
-        fixed_emi = jnp.asarray(np.stack([fs.emi for fs in tr.fixed]))
-        lessd_data = []
-        for ls in tr.lessd:
-            lessd_data.append(dict(
-                lenvec_asc=jnp.asarray(ls.lenvec[::-1]),
-                b_valid=jnp.asarray(ls.b_valid),
-                b_stop=jnp.asarray(ls.b_stopflag),
-                j_gate=jnp.asarray(ls.j_gate),
-                j_sel=jnp.asarray(ls.j_stopsel),
-            ))
-        pinned_eop = [jnp.asarray(ps.eop) for ps in tr.exon_pinned]
-        pinned_score = [jnp.asarray(ps.score) for ps in tr.exon_pinned]
-        conv_gate = [jnp.asarray(ecs.end_gate) for ecs in tr.exon_conv]
-        conv_smin = [jnp.asarray(ecs.start_min) for ecs in tr.exon_conv]
-        conv_smax = [jnp.asarray(ecs.start_max) for ecs in tr.exon_conv]
-        conv_lenvec = {}
-        conv_fsel = {}
-        for ecs in tr.exon_conv:
-            for vi, (width, lvd, fsel) in enumerate(self.static[ecs.state]):
-                conv_lenvec[(ecs.state, vi)] = jnp.asarray(lvd)
-                if fsel is not None:
-                    conv_fsel[(ecs.state, vi)] = fsel   # numpy static
-
-        def pool_at_b(gid, c, phi, b_lo, width):
-            """Slice G[gid][c, phi, b_lo : b_lo+width] with front padding."""
-            arr = pool[gid]
-            ci = c if arr.shape[0] > 1 else 0
-            if arr.ndim == 3:
-                pi = phi if arr.shape[1] > 1 else 0
-                return jax.lax.dynamic_slice(
-                    arr, (ci, pi, b_lo + GPAD), (1, 1, width))[0, 0]
-            return jax.lax.dynamic_slice(arr, (ci, b_lo + GPAD),
-                                         (1, width))[0]
-
-        def pool_at_j(hid, c, j):
-            arr = pool[hid]
-            ci = c if arr.shape[0] > 1 else 0
-            return arr[ci, j + GPAD]
+    def fn(arrays, v0):
+        G_all = arrays["G_all"]
+        cum_all = arrays["cum_all"]
+        log_trans = arrays["log_trans"]
+        lane_trans = arrays["lane_trans"]
+        stab = arrays["scalar_table"]
+        itab = arrays["int_table"]
 
         def step(carry, j):
             vprev, lanes, lane_arg = carry
-            c = stairs[j]
+            srow = stab[j]
+            irow = itab[j]
+            c = irow[st.cls_col]
             ltc = log_trans[c]
 
             vals = jnp.full((S,), NEG)
@@ -158,188 +298,179 @@ class ScanEngine:
                 return (vals.at[s].set(v),
                         bps.at[s].set((pred << 20) | off))
 
-            # ---- chain states ----------------------------------------
-            for ci_, cs in enumerate(tr.chain):
-                s = cs.state
+            # ---- chain -------------------------------------------------
+            for csd in st.chain:
+                s = csd.state
                 cand = vprev + ltc[:, s]
                 arg = jnp.argmax(cand)
                 best = cand[arg]
-                emi = chain_emi[ci_, c, j]
-                v = jnp.where(best > GATE, best + emi, NEG)
+                v = jnp.where(best > GATE, best + srow[csd.emi_col], NEG)
                 vals, bps = put(vals, bps, s, v, arg, 1)
 
-            # ---- fixed states ----------------------------------------
-            for fi, fs in enumerate(tr.fixed):
-                s, D, l = fs.state, fs.jump, fs.lane
+            # ---- fixed -------------------------------------------------
+            for fsd in st.fixed:
+                s, D, l = fsd.state, fsd.jump, fsd.lane
                 eop = j - D
                 row = eop + PAD
-                emi = fixed_emi[fi, c, j]
-                if fs.kind == 0:
-                    lv = lanes[row, l]
-                    la = lane_arg[row, l]
-                elif fs.kind == 1:
-                    lv = lanes[row, l] + log_1mpsi[c]
-                    la = lane_arg[row, l]
+                emi = srow[fsd.emi_col]
+                if fsd.kind == 0:
+                    lv = lanes[l, row]
+                    la = lane_arg[l, row]
+                elif fsd.kind == 1:
+                    lv = lanes[l, row] + srow[fsd.extra_col]
+                    la = lane_arg[l, row]
                 else:
-                    A = lanes[row, l]
-                    B = lanes[row, l + 1] + log_geo_ass[c, s]
+                    A = lanes[l, row]
+                    B = lanes[l + 1, row] + srow[fsd.extra_col]
                     lv = jnp.maximum(A, B)
-                    la = jnp.where(B > A, lane_arg[row, l + 1],
-                                   lane_arg[row, l])
+                    la = jnp.where(B > A, lane_arg[l + 1, row],
+                                   lane_arg[l, row])
                 ok = (eop >= 0) & (lv > GATE) & (emi > GATE)
                 v = jnp.where(ok, lv + emi, NEG)
                 vals, bps = put(vals, bps, s, v, la.astype(jnp.int32), D)
 
-            # ---- lessD states ----------------------------------------
-            for li, ls in enumerate(tr.lessd):
-                s, l, W = ls.state, ls.lane, ls.window
-                dd = lessd_data[li]
-                # ascending eop: eop(w) = j - W + w, w in [0, W)
+            # ---- lessD -------------------------------------------------
+            for li, lsd in enumerate(st.lessd):
+                s, l, W = lsd.state, lsd.lane, lsd.window
                 lo = j - W
-                lslice = jax.lax.dynamic_slice(lanes, (lo + PAD, l), (W, 1)
-                                               )[:, 0]
-                aslice = jax.lax.dynamic_slice(lane_arg, (lo + PAD, l),
-                                               (W, 1))[:, 0]
-                cum = pool[ls.cum_id]      # (C, GPAD + n+1)
+                lslice = jax.lax.dynamic_slice(lanes, (l, lo + PAD),
+                                               (1, W))[0]
+                aslice = jax.lax.dynamic_slice(lane_arg, (l, lo + PAD),
+                                               (1, W))[0]
                 cslice = jax.lax.dynamic_slice(
-                    cum, (c, lo + 1 + GPAD), (1, W))[0]
-                seg = cum[c, j + 1 + GPAD] - cslice
+                    cum_all, (lsd.cum_id, c, lo + 1 + GPAD), (1, 1, W))[0, 0]
+                seg = srow[lsd.cumj_col] - cslice
                 bvalid = jax.lax.dynamic_slice(
-                    _lessd_pad[li]["b_valid"], (lo + PAD,), (W,))
+                    arrays[f"lessd{li}_bvalid"], (lo + PAD,), (W,))
                 bstop = jax.lax.dynamic_slice(
-                    _lessd_pad[li]["b_stop"], (lo + PAD,), (W,))
+                    arrays[f"lessd{li}_bstop"], (lo + PAD,), (W,))
                 widx = jax.lax.iota(jnp.int32, W)
                 eops = lo + widx
-                stop = (bstop & dd["j_sel"][j]) != 0
-                ok = (eops >= 0) & (eops <= j - 1) & (bvalid != 0) & (~stop)
-                score = jnp.where(ok & (lslice > GATE) & (seg > GATE),
-                                  lslice + seg + dd["lenvec_asc"] +
-                                  log_psi[c], NEG)
-                # prefer larger eop on ties (reference iterates eop desc)
+                stop = (bstop & irow[lsd.jsel_col].astype(jnp.int8)) != 0
+                ok = (eops >= 0) & (bvalid != 0) & (~stop)
+                score = jnp.where(ok & (lslice > GATE),
+                                  lslice + seg + arrays[lsd.lenvec_key] +
+                                  srow[lsd.psi_col], NEG)
                 ridx = W - 1 - jnp.argmax(score[::-1])
                 best = score[ridx]
-                gated = dd["j_gate"][j] & (best > GATE)
+                gated = (irow[lsd.jgate_col] != 0) & (best > GATE)
                 v = jnp.where(gated, best, NEG)
                 pred = aslice[ridx].astype(jnp.int32)
-                off = j - (lo + ridx)
-                vals, bps = put(vals, bps, s, v, pred, off)
+                vals, bps = put(vals, bps, s, v, pred, j - (lo + ridx))
 
-            # ---- pinned exon states ----------------------------------
-            for pi, ps in enumerate(tr.exon_pinned):
-                s, l = ps.state, ps.lane
-                eop = pinned_eop[pi][j]
-                sc = pinned_score[pi][c, j]
+            # ---- pinned ------------------------------------------------
+            for psd in st.pinned:
+                s, l = psd.state, psd.lane
+                eop = irow[psd.eop_col]
+                sc = srow[psd.score_col]
                 row = jnp.maximum(eop, -PAD) + PAD
-                lv = lanes[row, l]
-                la = lane_arg[row, l]
-                ok = (eop > -PAD) & (sc > GATE) & (lv > GATE)
+                lv = lanes[l, row]
+                la = lane_arg[l, row]
+                ok = (sc > GATE) & (lv > GATE)
                 v = jnp.where(ok, lv + sc, NEG)
                 vals, bps = put(vals, bps, s, v, la.astype(jnp.int32),
                                 j - eop)
 
-            # ---- exon conv states ------------------------------------
-            for ei, ecs in enumerate(tr.exon_conv):
+            # ---- exon convs --------------------------------------------
+            for ei, ecs in enumerate(st.convs):
                 s = ecs.state
-                phi = jnp.mod(ecs.phase_const + ecs.phase_sign * j, 3)
-                smin = conv_smin[ei][j]
-                smax = conv_smax[ei][j]
+                gp = irow[ecs.gate_col]
+                gate = (gp & 1) != 0
+                phi = gp >> 1
+                smin = irow[ecs.smin_col]
+                smax = irow[ecs.smax_col]
 
                 def compute(j=j, ecs=ecs, ei=ei, phi=phi, smin=smin,
-                            smax=smax, c=c):
+                            smax=smax, c=c, srow=srow):
                     best = NEG
                     bpred = jnp.int32(0)
                     boff = jnp.int32(1)
                     for vi, var in enumerate(ecs.variants):
-                        width, _, fsel = self.static[ecs.state][vi]
-                        lvd = conv_lenvec[(ecs.state, vi)]
+                        width = var.width
+                        lvd = arrays[f"lenvec{ei}_{vi}"]
                         b_lo = j + ecs.a_off - var.len_hi
-                        G = pool_at_b(var.g_id, c, phi, b_lo, width)
-                        H = pool_at_j(var.h_id, c, j)
+                        G = jax.lax.dynamic_slice(
+                            G_all, (var.g_id, c, phi, b_lo + GPAD),
+                            (1, 1, 1, width))[0, 0, 0]
+                        H = srow[var.h_col]
                         eop_lo = b_lo - ecs.bpl - 1
-                        if fsel is None:
+                        if var.fsel is None:
                             L = jax.lax.dynamic_slice(
-                                lanes, (eop_lo + PAD, ecs.lane),
-                                (width, 1))[:, 0]
+                                lanes, (ecs.lane, eop_lo + PAD),
+                                (1, width))[0]
                             A = jax.lax.dynamic_slice(
-                                lane_arg, (eop_lo + PAD, ecs.lane),
-                                (width, 1))[:, 0]
+                                lane_arg, (ecs.lane, eop_lo + PAD),
+                                (1, width))[0]
                         else:
                             L3 = jax.lax.dynamic_slice(
-                                lanes, (eop_lo + PAD, ecs.lane), (width, 3))
+                                lanes, (ecs.lane, eop_lo + PAD), (3, width))
                             A3 = jax.lax.dynamic_slice(
-                                lane_arg, (eop_lo + PAD, ecs.lane),
-                                (width, 3))
+                                lane_arg, (ecs.lane, eop_lo + PAD),
+                                (3, width))
                             onehot = jnp.asarray(
-                                np.eye(3, dtype=np.bool_)[fsel])  # (w,3)
-                            L = jnp.where(onehot, L3, NEG).max(axis=1)
-                            A = jnp.where(
-                                onehot, A3, 0).sum(axis=1).astype(jnp.int8)
+                                np.eye(3, dtype=np.bool_)[
+                                    np.array(var.fsel)].T)   # (3, width)
+                            L = jnp.where(onehot, L3, NEG).max(axis=0)
+                            A = jnp.where(onehot, A3, 0).sum(
+                                axis=0).astype(jnp.int8)
                         widx = jax.lax.iota(jnp.int32, width)
                         b = b_lo + widx
                         okb = (b >= smin) & (b <= smax)
                         score = jnp.where(okb & (L > GATE) & (G > GATE),
                                           L + G + lvd, NEG)
                         ridx = width - 1 - jnp.argmax(score[::-1])
-                        vbest = score[ridx] + H
                         vbest = jnp.where((score[ridx] > GATE) & (H > GATE),
-                                          vbest, NEG)
-                        take = vbest > best   # strict: earlier variant wins
+                                          score[ridx] + H, NEG)
+                        take = vbest > best
                         best = jnp.where(take, vbest, best)
                         bpred = jnp.where(take, A[ridx].astype(jnp.int32),
                                           bpred)
                         boff = jnp.where(take, j - (eop_lo + ridx), boff)
                     return best, bpred, boff
 
-                gate = conv_gate[ei][j]
                 v, pred, off = jax.lax.cond(
                     gate, compute,
                     lambda: (NEG, jnp.int32(0), jnp.int32(1)))
                 vals, bps = put(vals, bps, s, v, pred, off)
 
-            # ---- lanes update ----------------------------------------
-            lane_cand = vals[None, :] + lane_trans          # (NL, S)
+            lane_cand = vals[None, :] + lane_trans
             lane_argj = jnp.argmax(lane_cand, axis=1).astype(jnp.int8)
             lane_valj = jnp.max(lane_cand, axis=1)
             lanes = jax.lax.dynamic_update_slice(
-                lanes, lane_valj[None, :], (j + PAD, 0))
+                lanes, lane_valj[:, None], (0, j + PAD))
             lane_arg = jax.lax.dynamic_update_slice(
-                lane_arg, lane_argj[None, :], (j + PAD, 0))
-
+                lane_arg, lane_argj[:, None], (0, j + PAD))
             return (vals, lanes, lane_arg), bps
 
-        # padded per-lessD validity tracks (host-built, closed over)
-        _lessd_pad = []
-        for ls in tr.lessd:
-            _lessd_pad.append(dict(
-                b_valid=jnp.asarray(np.concatenate(
-                    [np.zeros(PAD, np.int8),
-                     ls.b_valid.astype(np.int8)])),
-                b_stop=jnp.asarray(np.concatenate(
-                    [np.zeros(PAD, np.int8), ls.b_stopflag])),
-            ))
+        lanes0 = jnp.full((NL, n + PAD + END_PAD), NEG, dtype=jnp.float32)
+        lane_arg0 = jnp.zeros((NL, n + PAD + END_PAD), dtype=jnp.int8)
+        lane_cand = v0[None, :] + arrays["lane_trans"]
+        l0 = jnp.max(lane_cand, axis=1)
+        a0 = jnp.argmax(lane_cand, axis=1).astype(jnp.int8)
+        lanes0 = lanes0.at[:, : PAD + 1].set(l0[:, None])
+        lane_arg0 = lane_arg0.at[:, : PAD + 1].set(a0[:, None])
+        (vfin, _, _), bps = jax.lax.scan(
+            step, (v0, lanes0, lane_arg0), jnp.arange(1, n))
+        return vfin, bps
 
-        def run(v0):
-            lanes0 = jnp.full((n + PAD + END_PAD, NL), NEG, dtype=jnp.float32)
-            lane_arg0 = jnp.zeros((n + PAD + END_PAD, NL), dtype=jnp.int8)
-            lane_cand = v0[None, :] + lane_trans
-            l0 = jnp.max(lane_cand, axis=1)
-            a0 = jnp.argmax(lane_cand, axis=1).astype(jnp.int8)
-            # rows [0, PAD] replicate the initial column (eop<=0 clamp)
-            lanes0 = lanes0.at[: PAD + 1, :].set(l0[None, :])
-            lane_arg0 = lane_arg0.at[: PAD + 1, :].set(a0[None, :])
-            (vfin, _, _), bps = jax.lax.scan(
-                step, (v0, lanes0, lane_arg0), jnp.arange(1, n))
-            return vfin, bps
+    return fn
 
-        return run
 
-    # ------------------------------------------------------------------
+class ScanEngine:
+    """Single-sequence convenience wrapper around the pure scan function."""
+
+    def __init__(self, tracks: DPTracks):
+        self.tracks = tracks
+        self.static, self.arrays = split_tracks(tracks)
+        self.n, self.S = tracks.n, tracks.S
+        self._fn = jax.jit(make_scan_fn(self.static))
+
     def run(self) -> None:
-        tr = self.tracks
-        v0 = jnp.asarray(tr.log_init)
-        vfin, bps = self._scan(v0)
+        v0 = jnp.asarray(self.tracks.log_init)
+        dev_arrays = jax.tree_util.tree_map(jnp.asarray, self.arrays)
+        vfin, bps = self._fn(dev_arrays, v0)
         self.v_final = np.asarray(vfin)
-        self.backptr = np.asarray(bps)      # (n-1, S) packed
+        self.backptr = np.asarray(bps)
 
     def traceback(self) -> List[Tuple[int, int, ST]]:
         tr = self.tracks

@@ -1,7 +1,10 @@
 """Dev harness: compare the scan engine path against the gold engine."""
 import os, sys, time
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
 
 import numpy as np
 from augustus_tpu import genetics
