@@ -1,0 +1,60 @@
+"""augustus-compatible command line interface.
+
+Usage: python -m augustus_tpu.cli.augustus [--key=value ...] queryfile
+Mirrors the reference CLI (src/augustus.cc): --species is required, input is
+FASTA; output is GFF/GTF on stdout.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List
+
+
+def parse_argv(argv: List[str]):
+    args: Dict[str, str] = {}
+    queryfile = None
+    for a in argv:
+        if a.startswith("--"):
+            body = a[2:]
+            if "=" in body:
+                k, v = body.split("=", 1)
+            else:
+                k, v = body, "true"
+            args[k] = v
+        else:
+            queryfile = a
+    return args, queryfile
+
+
+HEADER = """\
+# This output was generated with AUGUSTUS-TPU (augustus_tpu {version}).
+# A TPU-native reimplementation of AUGUSTUS (Stanke et al.), built on
+# JAX/XLA; sources and documentation: see the repository README.
+"""
+
+
+def main(argv=None) -> int:
+    from .. import __version__
+    from ..predict import Model, predict_file
+
+    args, queryfile = parse_argv(argv if argv is not None else sys.argv[1:])
+    if queryfile is None and "queryfile" in args:
+        queryfile = args.pop("queryfile")
+    if "species" not in args:
+        sys.stderr.write("error: no species specified (--species=...)\n")
+        return 1
+    if queryfile is None:
+        sys.stderr.write("error: no query file\n")
+        return 1
+
+    model = Model.load(args)
+    sys.stdout.write(HEADER.format(version=__version__))
+    sys.stdout.write(predict_file(model, queryfile))
+    cl = " ".join(["augustus"] + (argv if argv is not None else sys.argv[1:]))
+    sys.stdout.write(f"# command line:\n# {cl}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -82,7 +82,8 @@ class GoldEngine:
     def __init__(self, sg: StateGraph, cn: Constants,
                  igp: IgenicParams, exp: ExonParams, inp: IntronParams,
                  decomp: gcmod.Decomposition,
-                 gcode: Optional[genetics.GeneticCode] = None):
+                 gcode: Optional[genetics.GeneticCode] = None,
+                 utr=None, utr_cfg=None):
         self.sg = sg
         self.cn = cn
         self.igp = igp
@@ -90,7 +91,14 @@ class GoldEngine:
         self.inp = inp
         self.decomp = decomp
         self.gcode = gcode or genetics.GeneticCode()
+        self.utr = utr              # UtrParams or None
+        self.utr_cfg = utr_cfg      # UtrConfig or None
         self.S = sg.statecount
+        self.utr_states = [(i, t) for i, t in enumerate(sg.state_types)
+                           if sg.model_class[i] == "utrmodel"]
+        if self.utr_states and utr is None:
+            raise ValueError("architecture contains UTR states but no UTR "
+                             "parameters were loaded")
 
         # per-GC-class adjusted transition matrices (log space).
         # reference IntronModel::updateToLocalGC modifies the global matrix:
@@ -200,6 +208,10 @@ class GoldEngine:
 
         # signal tracks
         self._build_signal_tracks(codes)
+
+        if self.utr is not None and self.utr_states:
+            from . import gold_utr
+            gold_utr.prepare_utr(self, codes)
 
     # ------------------------------------------------------------------
     def _igenic_track(self, codes: np.ndarray, c: int) -> np.ndarray:
@@ -389,6 +401,11 @@ class GoldEngine:
             for s, t in self.exon_states:
                 if reach[s]:
                     self._exon_step(j, c, s, t, v, bp_state, bp_base)
+
+            # ---- UTR states
+            if self.utr_states:
+                from . import gold_utr
+                gold_utr.utr_step(self, j, c, v, bp_state, bp_base)
 
         self.v = v
         self.bp_state = bp_state

@@ -239,8 +239,8 @@ def condense_path(segments: List[Tuple[int, int, ST]], dnalen: int
 
 
 def project_onto_genes(path: List[PathState], cn: Constants) -> List[Gene]:
-    """reference StatePath::projectOntoGeneSequence (gene.cc:394) — coding
-    genes (UTR handling plugs in once the UTR model lands)."""
+    """reference StatePath::projectOntoGeneSequence (gene.cc:394)."""
+    from ..model.state_config import is_5utr, is_3utr
     genes: List[Gene] = []
     i = 0
     n = len(path)
@@ -273,52 +273,113 @@ def project_onto_genes(path: List[PathState], cn: Constants) -> List[Gene]:
         g.strand = "+" if is_on_f_strand(cur.type) else "-"
         if g.strand == "-":
             g.frame = 2
-        if cur.type in (ST.singleG, ST.rsingleG):
-            g.exons.append(get_biological_state(cur, cn))
-            i += 1
-        else:
-            if not (is_initial_exon(cur.type) or is_r_terminal_exon(cur.type)):
-                g.complete = False
-            first = get_biological_state(cur, cn)
-            g.exons.append(first)
-            if g.strand == "+":
-                g.frame = mod3(first.frame() - first.length())
-            else:
-                g.frame = mod3(first.frame() + first.length())
-            if cur.type in (ST.terminal, ST.rinitial):
+        last5 = last3 = None
+        # ---- left-side UTR --------------------------------------------
+        if is_5utr(cur.type):
+            first = True
+            while i < n and is_5utr(path[i].type):
+                st = path[i]
+                if first:
+                    g.complete5utr = st.type in (ST.utr5single, ST.utr5init)
+                    first = False
+                if is_exon_state(st.type):
+                    g.utr5exons.append(get_biological_state(st, cn))
+                i += 1
+        elif is_3utr(cur.type):
+            first = True
+            while i < n and is_3utr(path[i].type):
+                st = path[i]
+                if first:
+                    g.complete3utr = st.type in (ST.rutr3single, ST.rutr3term)
+                    first = False
+                if is_exon_state(st.type):
+                    g.utr3exons.append(get_biological_state(st, cn))
+                i += 1
+        if i < n and is_coding_exon(path[i].type):
+            cur = path[i]
+            if cur.type in (ST.singleG, ST.rsingleG):
+                g.exons.append(get_biological_state(cur, cn))
                 i += 1
             else:
-                i += 1
-                while i < n and path[i].type not in (ST.terminal, ST.rinitial):
-                    st = path[i]
-                    if is_intron_state(st.type):
-                        intron = PathState(
-                            begin=st.begin, end=st.end,
-                            type=ST.intron_type if is_on_f_strand(st.type)
-                            else ST.rintron_type,
-                            truncated=st.truncated)
-                        while i + 1 < n and is_intron_state(path[i + 1].type):
-                            i += 1
-                            intron.end = path[i].end
-                            intron.truncated = path[i].truncated
-                        g.introns.append(get_biological_state(intron, cn))
-                        if g.introns[-1].end > g.transstart:
-                            g.transend = g.introns[-1].end
-                    elif is_internal_exon(st.type) or is_r_internal_exon(st.type):
-                        g.exons.append(get_biological_state(st, cn))
-                    else:
-                        raise ValueError(
-                            "state path doesn't constitute a valid gene")
-                    i += 1
-                if i >= n:
+                if not (is_initial_exon(cur.type) or is_r_terminal_exon(cur.type)):
                     g.complete = False
+                first = get_biological_state(cur, cn)
+                g.exons.append(first)
+                if g.strand == "+":
+                    g.frame = mod3(first.frame() - first.length())
                 else:
-                    g.exons.append(get_biological_state(path[i], cn))
+                    g.frame = mod3(first.frame() + first.length())
+                if cur.type in (ST.terminal, ST.rinitial):
                     i += 1
+                else:
+                    i += 1
+                    while i < n and path[i].type not in (ST.terminal,
+                                                         ST.rinitial):
+                        st = path[i]
+                        if is_intron_state(st.type):
+                            intron = PathState(
+                                begin=st.begin, end=st.end,
+                                type=ST.intron_type if is_on_f_strand(st.type)
+                                else ST.rintron_type,
+                                truncated=st.truncated)
+                            while i + 1 < n and is_intron_state(path[i + 1].type):
+                                i += 1
+                                intron.end = path[i].end
+                                intron.truncated = path[i].truncated
+                            g.introns.append(get_biological_state(intron, cn))
+                            if g.introns[-1].end > g.transstart:
+                                g.transend = g.introns[-1].end
+                        elif is_internal_exon(st.type) or \
+                                is_r_internal_exon(st.type):
+                            g.exons.append(get_biological_state(st, cn))
+                        else:
+                            raise ValueError(
+                                "state path doesn't constitute a valid gene")
+                        i += 1
+                    if i >= n:
+                        g.complete = False
+                    else:
+                        g.exons.append(get_biological_state(path[i], cn))
+                        i += 1
+            # ---- right-side UTR ---------------------------------------
+            if i < n and is_5utr(path[i].type):
+                while i < n and is_5utr(path[i].type):
+                    st = path[i]
+                    if not (i + 1 < n and is_5utr(path[i + 1].type)):
+                        g.complete5utr = st.type in (ST.rutr5single,
+                                                     ST.rutr5init)
+                    if is_exon_state(st.type):
+                        g.utr5exons.append(get_biological_state(st, cn))
+                        last5 = g.utr5exons[-1]
+                    i += 1
+            elif i < n and is_3utr(path[i].type):
+                while i < n and is_3utr(path[i].type):
+                    st = path[i]
+                    if not (i + 1 < n and is_3utr(path[i + 1].type)):
+                        g.complete3utr = st.type in (ST.utr3single,
+                                                     ST.utr3term)
+                    if is_exon_state(st.type):
+                        g.utr3exons.append(get_biological_state(st, cn))
+                        last3 = g.utr3exons[-1]
+                    i += 1
+        else:
+            # gene consists just of UTR: dropped by default
+            # (reference Constant::reportUtrOnlyGenes == false)
+            continue
         # finish gene
         g.clength = sum(e.length() for e in g.exons)
         if g.strand == "-":
             g.frame = mod3(g.frame - g.clength + 1)
+        if g.utr5exons and (g.transstart < 0 or
+                            g.transstart > g.utr5exons[0].begin):
+            g.transstart = g.utr5exons[0].begin
+        if g.utr3exons and (g.transstart < 0 or
+                            g.transstart > g.utr3exons[0].begin):
+            g.transstart = g.utr3exons[0].begin
+        if last5 is not None and (g.transend < 0 or g.transend < last5.end):
+            g.transend = last5.end
+        if last3 is not None and (g.transend < 0 or g.transend < last3.end):
+            g.transend = last3.end
         if g.exons:
             g.codingstart = g.exons[0].begin
             g.codingend = g.exons[-1].end
@@ -519,15 +580,47 @@ class OutputOptions:
 
 
 def print_gene_gff(g: Gene, o: OutputOptions, out: List[str]) -> None:
-    """reference Gene::printGFF — CDS-only portion (no UTR yet)."""
+    """reference Gene::printGFF (gene.cc), incl. UTR line formats."""
     tid = f"{g.geneid}.{g.id}"
     parent = (f"Parent={tid}" if o.gff3 else
               f'transcript_id "{tid}"; gene_id "{g.geneid}";')
     sn, src = g.seqname, "AUGUSTUS"
     strand = g.strand
     exons = g.exons
+    first_right_utr = g.utr3exons if strand == "+" else g.utr5exons
+    first_left_utr = g.utr5exons if strand == "+" else g.utr3exons
+
+    # ---- left UTR -------------------------------------------------------
+    for idx, e in enumerate(first_left_utr):
+        if strand == "+" and idx == 0 and e in g.utr5exons[:1] and \
+                g.complete5utr and o.print_tss:
+            out.append(f"{sn}\t{src}\ttss\t{e.begin + 1}\t{e.begin + 1}"
+                       f"\t.\t+\t.\t{parent}")
+        if strand == "-" and idx == 0 and e in g.utr3exons[:1] and \
+                g.complete3utr and o.print_tts:
+            out.append(f"{sn}\t{src}\ttts\t{e.begin + 1}\t{e.begin + 1}"
+                       f"\t.\t-\t.\t{parent}")
+        if o.print_utr:
+            if e.end >= e.begin:
+                name = "5'-UTR" if strand == "+" else "3'-UTR"
+                if o.gff3:
+                    name = ("five_prime_utr" if strand == "+"
+                            else "three_prime_utr")
+                score = fmt3(e.apostprob) if e.has_score else "."
+                out.append(f"{sn}\t{src}\t{name}\t{e.begin + 1}\t"
+                           f"{e.end + 1}\t{score}\t{strand}\t.\t{parent}")
+        else:
+            frm, to = e.begin + 1, e.end + 1
+            if idx == len(first_left_utr) - 1:   # last left utr exon
+                if exons:
+                    to = exons[0].end + 1
+                    if len(exons) == 1 and first_right_utr:
+                        to = first_right_utr[0].end + 1
+            out.append(f"{sn}\t{src}\texon\t{frm}\t{to}\t.\t{strand}"
+                       f"\t.\t{parent}")
+
     if exons:
-        first, last = exons[0], exons[-1]
+        first = exons[0]
         if o.print_start and strand == "+" and \
                 (is_initial_exon(first.type) or first.type == ST.singleG):
             out.append(f"{sn}\t{src}\tstart_codon\t{first.begin + 1}\t"
@@ -556,9 +649,9 @@ def print_gene_gff(g: Gene, o: OutputOptions, out: List[str]) -> None:
     if o.print_introns:
         for it in g.introns:
             score = fmt3(it.apostprob) if it.has_score else "."
-            out.append(f"{sn}\t{src}\tintron\t{it.begin + 1}\t{it.end + 1}\t"
-                       f"{score}\t{strand}\t.\t{parent}")
-    for e in exons:
+            out.append(f"{sn}\t{src}\tintron\t{it.begin + 1}\t{it.end + 1}"
+                       f"\t{score}\t{strand}\t.\t{parent}")
+    for ei, e in enumerate(exons):
         if o.print_cds:
             beginmod = endmod = 0
             if o.stop_codon_excluded_from_cds:
@@ -574,6 +667,13 @@ def print_gene_gff(g: Gene, o: OutputOptions, out: List[str]) -> None:
                 out.append(f"{sn}\t{src}\tCDS\t{e.begin + 1 + beginmod}\t"
                            f"{e.end + 1 + endmod}\t{score}\t{strand}\t"
                            f"{frame}\t{cdsattr}{parent}")
+        if o.utr_on and not o.print_utr:
+            if ei != 0 or not first_left_utr:
+                frm, to = e.begin + 1, e.end + 1
+                if ei == len(exons) - 1 and first_right_utr:
+                    to = first_right_utr[0].end + 1
+                out.append(f"{sn}\t{src}\texon\t{frm}\t{to}\t.\t"
+                           f"{strand}\t.\t{parent}")
     if exons:
         last = exons[-1]
         if o.print_stop and strand == "+" and last.type in (ST.terminal,
@@ -585,6 +685,29 @@ def print_gene_gff(g: Gene, o: OutputOptions, out: List[str]) -> None:
                     ST.singleG, ST.rinitial, ST.rsingleG)):
             out.append(f"{sn}\t{src}\tstart_codon\t{last.end - 1}\t"
                        f"{last.end + 1}\t.\t-\t0\t{parent}")
+
+    # ---- right UTR ------------------------------------------------------
+    for idx, e in enumerate(first_right_utr):
+        if o.print_utr:
+            if e.end >= e.begin:
+                name = "3'-UTR" if strand == "+" else "5'-UTR"
+                if o.gff3:
+                    name = ("three_prime_utr" if strand == "+"
+                            else "five_prime_utr")
+                score = fmt3(e.apostprob) if e.has_score else "."
+                out.append(f"{sn}\t{src}\t{name}\t{e.begin + 1}\t"
+                           f"{e.end + 1}\t{score}\t{strand}\t.\t{parent}")
+        else:
+            if idx != 0:
+                out.append(f"{sn}\t{src}\texon\t{e.begin + 1}\t"
+                           f"{e.end + 1}\t.\t{strand}\t.\t{parent}")
+        if idx == len(first_right_utr) - 1:
+            if strand == "+" and g.complete3utr and o.print_tts:
+                out.append(f"{sn}\t{src}\ttts\t{e.end + 1}\t{e.end + 1}"
+                           f"\t.\t+\t.\t{parent}")
+            if strand == "-" and g.complete5utr and o.print_tss:
+                out.append(f"{sn}\t{src}\ttss\t{e.end + 1}\t{e.end + 1}"
+                           f"\t.\t-\t.\t{parent}")
 
 
 def print_sequences(g: Gene, codes: np.ndarray, o: OutputOptions,

@@ -34,6 +34,8 @@ class Model:
     inp: pbl.IntronParams
     decomp: gcmod.Decomposition
     gcode: genetics.GeneticCode
+    utr: object = None
+    utr_cfg: object = None
 
     @classmethod
     def load(cls, args: dict, config_path: Optional[str] = None) -> "Model":
@@ -49,19 +51,39 @@ class Model:
                                   cn.decomp_num_steps, cn, props)
         decomp = gcmod.make_decomposition(cn, props)
         table = props.get_int("translation_table", 1)
+        utr = utr_cfg = None
+        if any(mc == "utrmodel" for mc in sg.model_class):
+            from .engine.gold_utr import UtrConfig
+            utr = pbl.read_utr_pbl(props.species_file("_utr_probs.pbl"),
+                                   cn.decomp_num_steps, cn, props, inp)
+            utr_cfg = UtrConfig.from_properties(props)
         return cls(props=props, cn=cn, sg=sg, igp=igp, exp=exp, inp=inp,
-                   decomp=decomp, gcode=genetics.GeneticCode(table))
+                   decomp=decomp, gcode=genetics.GeneticCode(table),
+                   utr=utr, utr_cfg=utr_cfg)
 
 
 def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
-                     geneid_start: int = 1) -> tuple:
-    """Predict genes on one sequence; returns (gff_text, n_genes)."""
+                     geneid_start: int = 1, engine: str = "gold") -> tuple:
+    """Predict genes on one sequence; returns (gff_text, n_genes).
+
+    engine: "gold" (host float64, exact) or "scan" (device float32 fast
+    path; identical except float near-ties / conv-capped exon lengths).
+    """
     cn = model.cn
     codes = genetics.encode(rec.sequence.lower())
-    engine = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
-                        model.decomp, model.gcode)
-    engine.run(codes)
-    segments = engine.traceback()
+    gold = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
+                      model.decomp, model.gcode, utr=model.utr,
+                      utr_cfg=model.utr_cfg)
+    if engine == "scan":
+        from .engine.device import build_tracks
+        from .engine.scan import ScanEngine
+        gold.prepare(codes)
+        se = ScanEngine(build_tracks(gold))
+        se.run()
+        segments = se.traceback()
+    else:
+        gold.run(codes)
+        segments = gold.traceback()
 
     path = og.condense_path(segments, codes.shape[0])
     genes = og.project_onto_genes(path, cn)
@@ -96,13 +118,13 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     return "\n".join(header) + "\n" + body, len(agl)
 
 
-def predict_file(model: Model, path: str) -> str:
+def predict_file(model: Model, path: str, engine: str = "gold") -> str:
     recs = read_fasta(path)
     chunks = []
     gid = 1
     for i, rec in enumerate(recs):
         text, ngenes = predict_sequence(model, rec, seq_number=i + 1,
-                                        geneid_start=gid)
+                                        geneid_start=gid, engine=engine)
         gid += ngenes
         chunks.append(text)
     return "".join(chunks)

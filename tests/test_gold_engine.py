@@ -54,3 +54,23 @@ def test_reverse_strand_exact():
     want = normalize(open(os.path.join(
         DATA, "golden_human_noutr_HS04636rc.gff")).read())
     assert got == want
+
+
+@pytest.mark.slow
+def test_utr_on_exact():
+    """Matches the reference test_utr_on configuration
+    (tests/short/examples/test_examples.py:297)."""
+    got = normalize(run_prediction("/root/reference/examples/example.fa",
+                                   UTR="on"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_utr_example.gff")).read())
+    assert got == want
+
+
+@pytest.mark.slow
+def test_utr_on_reverse_exact():
+    got = normalize(run_prediction(os.path.join(DATA, "HS04636rc.fa"),
+                                   UTR="on"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_utr_HS04636rc.gff")).read())
+    assert got == want
