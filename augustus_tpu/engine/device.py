@@ -624,7 +624,10 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
 
     def add_variant(gid, hid, m_lo, m_hi):
         len_lo, len_hi = m_lo + m2len, m_hi + m2len
-        len_lo = max(len_lo, 1)
+        # b <= startMax <= j + bpl implies len >= a_off - bpl: shorter
+        # lengths can never be reached (reference clamps startMax,
+        # exonmodel.cc:1052)
+        len_lo = max(len_lo, 1, a_off - g.begin_part_len)
         len_hi = min(len_hi, maxlen, CONV_CAP)
         if len_lo > len_hi:
             return

@@ -83,7 +83,7 @@ class GoldEngine:
                  igp: IgenicParams, exp: ExonParams, inp: IntronParams,
                  decomp: gcmod.Decomposition,
                  gcode: Optional[genetics.GeneticCode] = None,
-                 utr=None, utr_cfg=None):
+                 utr=None, utr_cfg=None, ext_cfg=None):
         self.sg = sg
         self.cn = cn
         self.igp = igp
@@ -93,6 +93,7 @@ class GoldEngine:
         self.gcode = gcode or genetics.GeneticCode()
         self.utr = utr              # UtrParams or None
         self.utr_cfg = utr_cfg      # UtrConfig or None
+        self.ext_cfg = ext_cfg      # ExtrinsicConfig or None
         self.S = sg.statecount
         self.utr_states = [(i, t) for i, t in enumerate(sg.state_types)
                            if sg.model_class[i] == "utrmodel"]
@@ -156,11 +157,27 @@ class GoldEngine:
                 kind: np.log(arr) for kind, arr in exp.len_dist.items()}
 
     # ------------------------------------------------------------------
-    def prepare(self, codes: np.ndarray) -> None:
-        """Precompute all tracks for one sequence."""
+    def prepare(self, codes: np.ndarray, softmask=None) -> None:
+        """Precompute all tracks for one sequence.
+
+        softmask: optional boolean per-base array (lowercase in the input).
+        With softmasking on, masked runs become nonexonpart "RM" hints
+        favoring intergenic/intron states (reference
+        SequenceFeatureCollection::prepare, extrinsicinfo.cc:1697-1723).
+        """
         cn, n = self.cn, codes.shape[0]
         self.codes = codes
         self.n = n
+        self.has_hints = False
+        self.sm_bonus = None
+        if (softmask is not None and cn.softmasking and softmask.any()
+                and self.ext_cfg is not None):
+            self.has_hints = True
+            per_base = float(np.log(
+                self.ext_cfg.bonus_for("nonexonpart", "RM", 0.0)))
+            self.sm_bonus = np.where(softmask[:n], per_base, 0.0)
+            self.smcum = np.zeros(n + 1)
+            self.smcum[1:] = np.cumsum(self.sm_bonus)
         self.stairs = gcmod.compute_stairs(codes, cn, self.decomp)
         self.orf = T.nearest_stop_arrays(codes, self.gcode)
         self.splice = T.build_splice_tracks(codes, self.inp, cn)
@@ -179,11 +196,20 @@ class GoldEngine:
         self.cum_exon: Dict[Tuple[int, str, bool], np.ndarray] = {}
         for c in classes:
             self.ig_track[c] = self._igenic_track(codes, c)
+            if self.sm_bonus is not None:
+                self.ig_track[c] = self.ig_track[c] + self.sm_bonus
             itf = T.kmer_lookup_log(codes, self.inp.k + 1,
                                     self.inp.gc[c].emiprobs, T.LOG_QUARTER)
             itf[: self.inp.k] = T.LOG_QUARTER
             itr = T.rc_kmer_lookup_log(codes, self.inp.k + 1,
                                        self.inp.gc[c].emiprobs, T.LOG_QUARTER)
+            self.intron_f_nb = getattr(self, "intron_f_nb", {})
+            self.intron_f_nb[c] = itf.copy()
+            if self.sm_bonus is not None:
+                # intronpart/nonexonpart per-base bonus inside introns
+                # (reference IntronModel::emiProbUnderModel tail)
+                itf = itf + self.sm_bonus
+                itr = itr + self.sm_bonus
             self.intron_f[c] = itf
             self.intron_r[c] = itr
             cf = np.zeros(n + 1); cf[1:] = np.cumsum(itf)
@@ -354,8 +380,8 @@ class GoldEngine:
     # ------------------------------------------------------------------
     # main DP
     # ------------------------------------------------------------------
-    def run(self, codes: np.ndarray) -> None:
-        self.prepare(codes)
+    def run(self, codes: np.ndarray, softmask=None) -> None:
+        self.prepare(codes, softmask=softmask)
         n, S = self.n, self.S
         v = np.full((n, S), NEG_INF)
         bp_state = np.full((n, S), -1, dtype=np.int16)
@@ -459,6 +485,18 @@ class GoldEngine:
                 continue
             if emi == NEG_INF:
                 continue
+            if self.sm_bonus is not None:
+                # intronic sub-range of the splice windows
+                # (reference intron emiProbUnderModel: intronBegin/intronEnd)
+                smc = self.smcum
+                if t in (ST.longdss0, ST.longdss1, ST.longdss2):
+                    emi = emi + smc[j + 1] - smc[j - DSS_MIDDLE - cn.dss_end + 1]
+                elif t in (ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
+                    emi = emi + smc[j - cn.dss_start + 1] - smc[eop + 1]
+                elif t in (ST.longass0, ST.longass1, ST.longass2):
+                    emi = emi + smc[j - cn.ass_end + 1] - smc[eop + 1]
+                elif t in (ST.rlongass0, ST.rlongass1, ST.rlongass2):
+                    emi = emi + smc[j + 1] - smc[eop + 1 + cn.ass_end]
             anc = self.ancestors[s]
             cand = v[eop][anc] + lt[anc, s]
             bi = int(np.argmax(cand))

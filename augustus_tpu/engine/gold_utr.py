@@ -322,7 +322,11 @@ def utr_step(eng, j: int, c: int, v, bp_state, bp_base) -> None:
             cand = v[j - 1][anc] + lt[anc, s]
             bi = int(np.argmax(cand))
             if cand[bi] > NEG_INF:
-                v[j, s] = cand[bi] + eng.intron_f[c][j]
+                # NB: UTR intron interiors get no softmask/intronpart bonus
+                # in the reference (endPartEmiProb excludes isIntron states)
+                emi = eng.intron_f_nb[c][j] if hasattr(eng, "intron_f_nb") \
+                    else eng.intron_f[c][j]
+                v[j, s] = cand[bi] + emi
                 bp_state[j, s] = anc[bi]
                 bp_base[j, s] = j - 1
             continue
@@ -358,6 +362,13 @@ def utr_step(eng, j: int, c: int, v, bp_state, bp_base) -> None:
             end_part = 0.0
         if end_part == NEG_INF:
             continue
+        if getattr(eng, "sm_bonus", None) is not None and ebx < j and \
+                t not in (ST.utr3single, ST.utr3term, ST.rutr5single,
+                          ST.rutr5init):
+            # intronpart/nonexonpart bonus for the intron bases inside the
+            # splice windows handled by this exon state (reference
+            # UtrModel::endPartEmiProb tail)
+            end_part = end_part + eng.smcum[j + 1] - eng.smcum[ebx + 1]
 
         lo, hi = _pred_range(t, j, n, cn, uc, up)
         if t in (ST.utr5single, ST.utr5init):

@@ -117,8 +117,8 @@ class ScanStatic:
 
 def split_tracks(tr: DPTracks):
     """(static, arrays) decomposition with scalar-table consolidation."""
-    maxlen = tr.gold.exp.len_dist["internal"].shape[0] - 1
-    GPAD = maxlen + 64
+    from .device import CONV_CAP
+    GPAD = CONV_CAP + 96
     PAD = GPAD
     C = tr.n_classes
     n = tr.n
@@ -215,12 +215,16 @@ def split_tracks(tr: DPTracks):
             jsel_col=icol(ls.j_stopsel), jgate_col=icol(ls.j_gate),
             lenvec_key=f"lessd{li}_lenvec"))
         arrays[f"lessd{li}_lenvec"] = ls.lenvec[::-1].copy()
-        arrays[f"lessd{li}_bvalid"] = np.concatenate(
-            [np.zeros(PAD, np.int8), ls.b_valid.astype(np.int8),
-             np.zeros(END_PAD, np.int8)])
-        arrays[f"lessd{li}_bstop"] = np.concatenate(
-            [np.zeros(PAD, np.int8), ls.b_stopflag,
-             np.zeros(END_PAD, np.int8)])
+    if tr.lessd:
+        arrays["lessd_bvalid_all"] = np.stack([
+            np.concatenate([np.zeros(PAD, np.int8),
+                            ls.b_valid.astype(np.int8),
+                            np.zeros(END_PAD, np.int8)])
+            for ls in tr.lessd])
+        arrays["lessd_bstop_all"] = np.stack([
+            np.concatenate([np.zeros(PAD, np.int8), ls.b_stopflag,
+                            np.zeros(END_PAD, np.int8)])
+            for ls in tr.lessd])
 
     # ---- pinned --------------------------------------------------------
     pinned_s = tuple(PinnedStatic(
@@ -273,8 +277,16 @@ def split_tracks(tr: DPTracks):
 
 
 def make_scan_fn(st: ScanStatic):
-    """Build the pure scan function fn(arrays, v0) -> (v_final, backptrs)."""
+    """Build the pure scan function fn(arrays, v0) -> (v_final, backptrs).
+
+    Per step, exactly one dynamic window slice is taken from each large
+    buffer (lane values, lane args, G pool, cumsums, lessD masks, scalar/int
+    tables); every per-state/variant read is then a *static* slice of those
+    windows, which XLA fuses into a handful of kernels — this is what makes
+    the sequential scan viable on TPU.
+    """
     n, S, NL, PAD, GPAD = st.n, st.S, st.NL, st.PAD, st.GPAD
+    WB = PAD                      # superwindow back-extent (rows j-WB .. j-1)
 
     def fn(arrays, v0):
         G_all = arrays["G_all"]
@@ -283,6 +295,8 @@ def make_scan_fn(st: ScanStatic):
         lane_trans = arrays["lane_trans"]
         stab = arrays["scalar_table"]
         itab = arrays["int_table"]
+        NG = G_all.shape[0]
+        NCU = cum_all.shape[0]
 
         def step(carry, j):
             vprev, lanes, lane_arg = carry
@@ -290,6 +304,24 @@ def make_scan_fn(st: ScanStatic):
             irow = itab[j]
             c = irow[st.cls_col]
             ltc = log_trans[c]
+
+            # ---- superwindows (one dynamic slice per buffer) -----------
+            Lwin = jax.lax.dynamic_slice(lanes, (0, j - WB + PAD), (NL, WB))
+            Awin = jax.lax.dynamic_slice(lane_arg, (0, j - WB + PAD),
+                                         (NL, WB))
+            if NG:
+                Gwin = jax.lax.dynamic_slice(
+                    G_all, (0, c, 0, j - WB + GPAD), (NG, 1, 3, WB + 64)
+                )[:, 0]                                   # (NG, 3, WB+64)
+            if NCU:
+                Cwin = jax.lax.dynamic_slice(
+                    cum_all, (0, c, j - WB + GPAD), (NCU, 1, WB + 64))[:, 0]
+            if st.lessd:
+                NLD = arrays["lessd_bvalid_all"].shape[0]
+                BVwin = jax.lax.dynamic_slice(
+                    arrays["lessd_bvalid_all"], (0, j - WB + PAD), (NLD, WB))
+                BSwin = jax.lax.dynamic_slice(
+                    arrays["lessd_bstop_all"], (0, j - WB + PAD), (NLD, WB))
 
             vals = jnp.full((S,), NEG)
             bps = jnp.zeros((S,), dtype=jnp.int32)
@@ -310,42 +342,35 @@ def make_scan_fn(st: ScanStatic):
             # ---- fixed -------------------------------------------------
             for fsd in st.fixed:
                 s, D, l = fsd.state, fsd.jump, fsd.lane
-                eop = j - D
-                row = eop + PAD
+                col = WB - D
                 emi = srow[fsd.emi_col]
                 if fsd.kind == 0:
-                    lv = lanes[l, row]
-                    la = lane_arg[l, row]
+                    lv = Lwin[l, col]
+                    la = Awin[l, col]
                 elif fsd.kind == 1:
-                    lv = lanes[l, row] + srow[fsd.extra_col]
-                    la = lane_arg[l, row]
+                    lv = Lwin[l, col] + srow[fsd.extra_col]
+                    la = Awin[l, col]
                 else:
-                    A = lanes[l, row]
-                    B = lanes[l + 1, row] + srow[fsd.extra_col]
+                    A = Lwin[l, col]
+                    B = Lwin[l + 1, col] + srow[fsd.extra_col]
                     lv = jnp.maximum(A, B)
-                    la = jnp.where(B > A, lane_arg[l + 1, row],
-                                   lane_arg[l, row])
-                ok = (eop >= 0) & (lv > GATE) & (emi > GATE)
+                    la = jnp.where(B > A, Awin[l + 1, col], Awin[l, col])
+                ok = (j >= D) & (lv > GATE) & (emi > GATE)
                 v = jnp.where(ok, lv + emi, NEG)
                 vals, bps = put(vals, bps, s, v, la.astype(jnp.int32), D)
 
             # ---- lessD -------------------------------------------------
             for li, lsd in enumerate(st.lessd):
                 s, l, W = lsd.state, lsd.lane, lsd.window
-                lo = j - W
-                lslice = jax.lax.dynamic_slice(lanes, (l, lo + PAD),
-                                               (1, W))[0]
-                aslice = jax.lax.dynamic_slice(lane_arg, (l, lo + PAD),
-                                               (1, W))[0]
-                cslice = jax.lax.dynamic_slice(
-                    cum_all, (lsd.cum_id, c, lo + 1 + GPAD), (1, 1, W))[0, 0]
+                c0 = WB - W                    # col of eop = j - W
+                lslice = Lwin[l, c0: WB]
+                aslice = Awin[l, c0: WB]
+                cslice = Cwin[lsd.cum_id, c0 + 1: WB + 1]
                 seg = srow[lsd.cumj_col] - cslice
-                bvalid = jax.lax.dynamic_slice(
-                    arrays[f"lessd{li}_bvalid"], (lo + PAD,), (W,))
-                bstop = jax.lax.dynamic_slice(
-                    arrays[f"lessd{li}_bstop"], (lo + PAD,), (W,))
+                bvalid = BVwin[li, c0: WB]
+                bstop = BSwin[li, c0: WB]
                 widx = jax.lax.iota(jnp.int32, W)
-                eops = lo + widx
+                eops = (j - W) + widx
                 stop = (bstop & irow[lsd.jsel_col].astype(jnp.int8)) != 0
                 ok = (eops >= 0) & (bvalid != 0) & (~stop)
                 score = jnp.where(ok & (lslice > GATE),
@@ -356,9 +381,9 @@ def make_scan_fn(st: ScanStatic):
                 gated = (irow[lsd.jgate_col] != 0) & (best > GATE)
                 v = jnp.where(gated, best, NEG)
                 pred = aslice[ridx].astype(jnp.int32)
-                vals, bps = put(vals, bps, s, v, pred, j - (lo + ridx))
+                vals, bps = put(vals, bps, s, v, pred, W - ridx)
 
-            # ---- pinned ------------------------------------------------
+            # ---- pinned (dynamic far-back row reads) -------------------
             for psd in st.pinned:
                 s, l = psd.state, psd.lane
                 eop = irow[psd.eop_col]
@@ -379,42 +404,37 @@ def make_scan_fn(st: ScanStatic):
                 phi = gp >> 1
                 smin = irow[ecs.smin_col]
                 smax = irow[ecs.smax_col]
+                ph_onehot = (phi == jnp.arange(3)).astype(jnp.float32)
 
-                def compute(j=j, ecs=ecs, ei=ei, phi=phi, smin=smin,
-                            smax=smax, c=c, srow=srow):
+                def compute(j=j, ecs=ecs, ei=ei, smin=smin, smax=smax,
+                            srow=srow, ph_onehot=ph_onehot):
                     best = NEG
                     bpred = jnp.int32(0)
                     boff = jnp.int32(1)
                     for vi, var in enumerate(ecs.variants):
                         width = var.width
                         lvd = arrays[f"lenvec{ei}_{vi}"]
-                        b_lo = j + ecs.a_off - var.len_hi
-                        G = jax.lax.dynamic_slice(
-                            G_all, (var.g_id, c, phi, b_lo + GPAD),
-                            (1, 1, 1, width))[0, 0, 0]
+                        goff = WB + ecs.a_off - var.len_hi
+                        G3 = Gwin[var.g_id, :, goff: goff + width]  # (3, w)
+                        G = (G3 * ph_onehot[:, None]).sum(axis=0)
                         H = srow[var.h_col]
-                        eop_lo = b_lo - ecs.bpl - 1
+                        eoff = goff - ecs.bpl - 1
                         if var.fsel is None:
-                            L = jax.lax.dynamic_slice(
-                                lanes, (ecs.lane, eop_lo + PAD),
-                                (1, width))[0]
-                            A = jax.lax.dynamic_slice(
-                                lane_arg, (ecs.lane, eop_lo + PAD),
-                                (1, width))[0]
+                            L = Lwin[ecs.lane, eoff: eoff + width]
+                            A = Awin[ecs.lane, eoff: eoff + width]
                         else:
-                            L3 = jax.lax.dynamic_slice(
-                                lanes, (ecs.lane, eop_lo + PAD), (3, width))
-                            A3 = jax.lax.dynamic_slice(
-                                lane_arg, (ecs.lane, eop_lo + PAD),
-                                (3, width))
+                            L3 = Lwin[ecs.lane: ecs.lane + 3,
+                                      eoff: eoff + width]
+                            A3 = Awin[ecs.lane: ecs.lane + 3,
+                                      eoff: eoff + width]
                             onehot = jnp.asarray(
-                                np.eye(3, dtype=np.bool_)[
-                                    np.array(var.fsel)].T)   # (3, width)
-                            L = jnp.where(onehot, L3, NEG).max(axis=0)
-                            A = jnp.where(onehot, A3, 0).sum(
+                                np.eye(3, dtype=np.float32)[
+                                    np.array(var.fsel)].T)     # (3, w)
+                            L = (L3 * onehot).sum(axis=0)
+                            A = (A3 * onehot.astype(jnp.int8)).sum(
                                 axis=0).astype(jnp.int8)
                         widx = jax.lax.iota(jnp.int32, width)
-                        b = b_lo + widx
+                        b = (j + ecs.a_off - var.len_hi) + widx
                         okb = (b >= smin) & (b <= smax)
                         score = jnp.where(okb & (L > GATE) & (G > GATE),
                                           L + G + lvd, NEG)
@@ -425,7 +445,8 @@ def make_scan_fn(st: ScanStatic):
                         best = jnp.where(take, vbest, best)
                         bpred = jnp.where(take, A[ridx].astype(jnp.int32),
                                           bpred)
-                        boff = jnp.where(take, j - (eop_lo + ridx), boff)
+                        boff = jnp.where(
+                            take, (WB - eoff) - ridx, boff)
                     return best, bpred, boff
 
                 v, pred, off = jax.lax.cond(

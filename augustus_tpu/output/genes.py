@@ -740,7 +740,8 @@ def print_sequences(g: Gene, codes: np.ndarray, o: OutputOptions,
 
 
 def print_gene_list(agl: List[AltGene], codes: np.ndarray, o: OutputOptions,
-                    gcode: genetics.GeneticCode) -> str:
+                    gcode: genetics.GeneticCode,
+                    with_evidence: bool = False) -> str:
     out: List[str] = []
     for ag in agl:
         out.append(f"# start gene {ag.id}")
@@ -757,6 +758,9 @@ def print_gene_list(agl: List[AltGene], codes: np.ndarray, o: OutputOptions,
                        f"\t{tx.strand}\t.\t{idattr}")
             print_gene_gff(tx, o, out)
             print_sequences(tx, codes, o, gcode, out)
+            if with_evidence:
+                from . import evidence as ev
+                ev.print_evidence(tx, out)
         out.append(f"# end gene {ag.id}")
         out.append("###")
     return "\n".join(out) + ("\n" if out else "")

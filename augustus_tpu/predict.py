@@ -36,6 +36,7 @@ class Model:
     gcode: genetics.GeneticCode
     utr: object = None
     utr_cfg: object = None
+    ext_cfg: object = None
 
     @classmethod
     def load(cls, args: dict, config_path: Optional[str] = None) -> "Model":
@@ -57,9 +58,14 @@ class Model:
             utr = pbl.read_utr_pbl(props.species_file("_utr_probs.pbl"),
                                    cn.decomp_num_steps, cn, props, inp)
             utr_cfg = UtrConfig.from_properties(props)
+        ext_cfg = None
+        from .hints import config as hints_config
+        path = hints_config.default_config_path(props)
+        if path is not None and (cn.softmasking or "hintsfile" in props):
+            ext_cfg = hints_config.read_extrinsic_cfg(path)
         return cls(props=props, cn=cn, sg=sg, igp=igp, exp=exp, inp=inp,
                    decomp=decomp, gcode=genetics.GeneticCode(table),
-                   utr=utr, utr_cfg=utr_cfg)
+                   utr=utr, utr_cfg=utr_cfg, ext_cfg=ext_cfg)
 
 
 def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
@@ -73,16 +79,17 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     codes = genetics.encode(rec.sequence.lower())
     gold = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
                       model.decomp, model.gcode, utr=model.utr,
-                      utr_cfg=model.utr_cfg)
+                      utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
+    softmask = genetics.softmask_runs(rec.sequence)
     if engine == "scan":
         from .engine.device import build_tracks
         from .engine.scan import ScanEngine
-        gold.prepare(codes)
+        gold.prepare(codes, softmask=softmask)
         se = ScanEngine(build_tracks(gold))
         se.run()
         segments = se.traceback()
     else:
-        gold.run(codes)
+        gold.run(codes, softmask=softmask)
         segments = gold.traceback()
 
     path = og.condense_path(segments, codes.shape[0])
@@ -105,6 +112,14 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
             tid += 1
 
     o = og.OutputOptions.from_properties(model.props)
+    with_evidence = bool(getattr(gold, "has_hints", False))
+    if with_evidence:
+        from .hints.features import softmask_hints
+        from .output import evidence as ev
+        groups = softmask_hints(softmask[: codes.shape[0]], model.ext_cfg)
+        for ag in agl:
+            for tx in ag.transcripts:
+                ev.compile_evidence(tx, groups)
     header = [
         f"#",
         f"# ----- prediction on sequence number {seq_number} "
@@ -112,7 +127,8 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
         f"#",
         f"# Predicted genes for sequence number {seq_number} on both strands",
     ]
-    body = og.print_gene_list(agl, codes, o, model.gcode)
+    body = og.print_gene_list(agl, codes, o, model.gcode,
+                              with_evidence=with_evidence)
     if not agl:
         body = "# (none)\n"
     return "\n".join(header) + "\n" + body, len(agl)

@@ -25,7 +25,8 @@ def normalize(text: str):
     out = []
     for l in lines[start:]:
         if l.startswith("# command line") or l.startswith("# ../") or \
-                l.startswith("# /") or l.startswith("# total time"):
+                l.startswith("# /") or l.startswith("# ./") or \
+                l.startswith("# total time"):
             continue
         out.append(l)
     return out
@@ -73,4 +74,23 @@ def test_utr_on_reverse_exact():
                                    UTR="on"))
     want = normalize(open(os.path.join(
         DATA, "golden_human_utr_HS04636rc.gff")).read())
+    assert got == want
+
+
+@pytest.mark.slow
+def test_softmask_noutr_exact():
+    """Softmasked input -> RM nonexonpart hints + evidence blocks."""
+    got = normalize(run_prediction(os.path.join(DATA, "HS04636sm.fa"),
+                                   softmasking="1"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_sm_noutr.gff")).read())
+    assert got == want
+
+
+@pytest.mark.slow
+def test_softmask_utr_exact():
+    got = normalize(run_prediction(os.path.join(DATA, "HS04636sm3.fa"),
+                                   UTR="on", softmasking="1"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_sm3_utr.gff")).read())
     assert got == want
