@@ -157,7 +157,8 @@ class GoldEngine:
                 kind: np.log(arr) for kind, arr in exp.len_dist.items()}
 
     # ------------------------------------------------------------------
-    def prepare(self, codes: np.ndarray, softmask=None) -> None:
+    def prepare(self, codes: np.ndarray, softmask=None,
+                gff_hints=None) -> None:
         """Precompute all tracks for one sequence.
 
         softmask: optional boolean per-base array (lowercase in the input).
@@ -169,18 +170,31 @@ class GoldEngine:
         self.codes = codes
         self.n = n
         self.has_hints = False
-        self.sm_bonus = None
+        self.hints = None
+        feats = []
         if (softmask is not None and cn.softmasking and softmask.any()
                 and self.ext_cfg is not None):
+            from ..hints.features import softmask_hints
+            for grp in softmask_hints(softmask[:n], self.ext_cfg):
+                feats.extend(grp.hints)
             self.has_hints = True
-            per_base = float(np.log(
-                self.ext_cfg.bonus_for("nonexonpart", "RM", 0.0)))
-            self.sm_bonus = np.where(softmask[:n], per_base, 0.0)
-            self.smcum = np.zeros(n + 1)
-            self.smcum[1:] = np.cumsum(self.sm_bonus)
+        if gff_hints is not None:
+            # a hints file was given: maluses apply even with no hints on
+            # this sequence (reference hasHintsFile)
+            feats.extend(gff_hints)
+            self.has_hints = True
+        if self.has_hints and self.ext_cfg is not None:
+            from ..hints.system import SeqHints
+            self.hints = SeqHints(feats, self.ext_cfg, codes)
+            self._build_hint_tracks()
         self.stairs = gcmod.compute_stairs(codes, cn, self.decomp)
         self.orf = T.nearest_stop_arrays(codes, self.gcode)
-        self.splice = T.build_splice_tracks(codes, self.inp, cn)
+        hinted = None
+        if self.hints is not None:
+            h = self.hints
+            hinted = (h.hinted_fD, h.hinted_rD, h.hinted_fA, h.hinted_rA)
+        self.splice = T.build_splice_tracks(codes, self.inp, cn,
+                                            hinted=hinted)
 
         k = self.exp.k
         log_n_coding = float(np.log(cn.prob_n_in_coding))
@@ -196,20 +210,15 @@ class GoldEngine:
         self.cum_exon: Dict[Tuple[int, str, bool], np.ndarray] = {}
         for c in classes:
             self.ig_track[c] = self._igenic_track(codes, c)
-            if self.sm_bonus is not None:
-                self.ig_track[c] = self.ig_track[c] + self.sm_bonus
+            if self.hints is not None:
+                self.ig_track[c] = self.ig_track[c] + self.ig_adjust
             itf = T.kmer_lookup_log(codes, self.inp.k + 1,
                                     self.inp.gc[c].emiprobs, T.LOG_QUARTER)
             itf[: self.inp.k] = T.LOG_QUARTER
             itr = T.rc_kmer_lookup_log(codes, self.inp.k + 1,
                                        self.inp.gc[c].emiprobs, T.LOG_QUARTER)
             self.intron_f_nb = getattr(self, "intron_f_nb", {})
-            self.intron_f_nb[c] = itf.copy()
-            if self.sm_bonus is not None:
-                # intronpart/nonexonpart per-base bonus inside introns
-                # (reference IntronModel::emiProbUnderModel tail)
-                itf = itf + self.sm_bonus
-                itr = itr + self.sm_bonus
+            self.intron_f_nb[c] = itf
             self.intron_f[c] = itf
             self.intron_r[c] = itr
             cf = np.zeros(n + 1); cf[1:] = np.cumsum(itf)
@@ -238,6 +247,54 @@ class GoldEngine:
         if self.utr is not None and self.utr_states:
             from . import gold_utr
             gold_utr.prepare_utr(self, codes)
+
+    # ------------------------------------------------------------------
+    def _build_hint_tracks(self) -> None:
+        """Per-base hint bonus tracks (igenic adjust, intronpart cums) and
+        constants used by the DP hooks."""
+        h = self.hints
+        cfg = self.ext_cfg
+        n = self.n
+        LOG = np.log
+
+        ig = np.zeros(n)
+        have_ir = np.zeros(n, dtype=bool)
+        have_nep = np.zeros(n, dtype=bool)
+        have_nonir = np.zeros(n, dtype=bool)
+        for f in h.by_type["irpart"]:
+            ig[max(f.start, 0): f.end + 1] += LOG(f.bonus)
+            have_ir[max(f.start, 0): f.end + 1] = True
+        for f in h.by_type["nonexonpart"]:
+            ig[max(f.start, 0): f.end + 1] += LOG(f.bonus)
+            have_nep[max(f.start, 0): f.end + 1] = True
+        for f in h.by_type["genicpart"]:
+            ig[max(f.start, 0): f.end + 1] -= LOG(f.bonus)
+            have_nonir[max(f.start, 0): f.end + 1] = True
+        # maluses where no such hint covers the base (igenicmodel.cc:318-326)
+        ig += np.where(~have_ir, LOG(cfg.malus("irpart")), 0.0)
+        ig += np.where(~have_nep, LOG(cfg.malus("nonexonpart")), 0.0)
+        ig -= np.where(~have_nonir, LOG(cfg.malus("genicpart")), 0.0)
+        self.ig_adjust = ig
+
+        ipb_p = np.zeros(n)
+        ipb_m = np.zeros(n)
+        for f in h.by_type["intronpart"] + h.by_type["nonexonpart"]:
+            if f.strand in ("+", "."):
+                ipb_p[max(f.start, 0): f.end + 1] += LOG(f.bonus)
+            if f.strand in ("-", "."):
+                ipb_m[max(f.start, 0): f.end + 1] += LOG(f.bonus)
+        self.ipb_plus = ipb_p
+        self.ipb_minus = ipb_m
+        self.ipb_plus_cum = np.zeros(n + 1)
+        self.ipb_plus_cum[1:] = np.cumsum(ipb_p)
+        self.ipb_minus_cum = np.zeros(n + 1)
+        self.ipb_minus_cum[1:] = np.cumsum(ipb_m)
+
+        self.log_malus = {t: float(LOG(cfg.malus(t)))
+                          for t in ("start", "stop", "ass", "dss", "exonpart",
+                                    "exon", "intronpart", "intron", "CDS",
+                                    "CDSpart", "UTR", "UTRpart", "tss",
+                                    "tts")}
 
     # ------------------------------------------------------------------
     def _igenic_track(self, codes: np.ndarray, c: int) -> np.ndarray:
@@ -377,11 +434,72 @@ class GoldEngine:
 
         self.start_fwd_log = start_fwd
 
+        if self.hints is not None:
+            self._apply_signal_hint_terms()
+
+    # ------------------------------------------------------------------
+    def _apply_signal_hint_terms(self) -> None:
+        """Fold start/stop/ass/dss hint bonuses and maluses into signal
+        tracks (reference exonmodel.cc endPartEmiProb/notEndPartEmiProb)."""
+        from ..hints.system import distance_faded_bonus
+        h, n = self.hints, self.n
+        lm = self.log_malus
+
+        def codon_adj(hint_type, strand, pos_of_j, valid):
+            """Adjustment for codon-signal tracks: hints OVERLAPPING the
+            codon window suppress the malus; hints COVERING it add fades at
+            the middle base (reference exonmodel.cc:1294-1311)."""
+            adj = np.where(valid, lm[hint_type], 0.0)
+            hints = [f for f in h.by_type[hint_type]
+                     if f.strand in (strand, ".")]
+            if not hints:
+                return adj
+            for j in np.flatnonzero(valid):
+                a = pos_of_j(int(j))          # codon start
+                over = [f for f in hints if not (f.end < a or f.start > a + 2)]
+                if over:
+                    v = 0.0
+                    for f in over:
+                        if f.start <= a and f.end >= a + 2:
+                            v += distance_faded_bonus(f, a + 1)
+                    adj[j] = v
+            return adj
+
+        tw = self.cn.trans_init_window
+        self.end_stop_fwd = self.end_stop_fwd + codon_adj(
+            "stop", "+", lambda j: j - 2, self.end_stop_fwd > NEG_INF)
+        self.begin_rstop = self.begin_rstop + codon_adj(
+            "stop", "-", lambda b: b, self.begin_rstop > NEG_INF)
+        for c in self.classes:
+            self.tis_begin_fwd[c] = self.tis_begin_fwd[c] + codon_adj(
+                "start", "+", lambda b: b, self.tis_begin_fwd[c] > NEG_INF)
+            self.tis_end_rev[c] = self.tis_end_rev[c] + codon_adj(
+                "start", "-", lambda j: j - tw - STARTCODON_LEN + 1,
+                self.tis_end_rev[c] > NEG_INF)
+
+        # splice-site adjustment arrays indexed by SITE position:
+        # sum of fades of containing hints, else the malus
+        def site_adj(hint_type, strand):
+            adj = np.full(n, lm[hint_type])
+            hints = [f for f in h.by_type[hint_type]
+                     if f.strand in (strand, ".")]
+            for f in hints:
+                for p in range(max(f.start, 0), min(f.end + 1, n)):
+                    if adj[p] == lm[hint_type]:
+                        adj[p] = 0.0
+                    adj[p] += distance_faded_bonus(f, p)
+            return adj
+
+        self.dss_site_adj_p = site_adj("dss", "+")
+        self.dss_site_adj_m = site_adj("dss", "-")
+        self.ass_site_adj_p = site_adj("ass", "+")
+        self.ass_site_adj_m = site_adj("ass", "-")
+
     # ------------------------------------------------------------------
     # main DP
     # ------------------------------------------------------------------
-    def run(self, codes: np.ndarray, softmask=None) -> None:
-        self.prepare(codes, softmask=softmask)
+    def run(self, codes: np.ndarray, softmask=None, gff_hints=None) -> None:
+        self.prepare(codes, softmask=softmask, gff_hints=gff_hints)
         n, S = self.n, self.S
         v = np.full((n, S), NEG_INF)
         bp_state = np.full((n, S), -1, dtype=np.int16)
@@ -409,6 +527,12 @@ class GoldEngine:
                 anc = self.ancestors[s]
                 emi = (self.ig_track[c][j] if types[s] == ST.igenic
                        else self.intron_f[c][j])
+                if self.hints is not None and types[s] != ST.igenic:
+                    if types[s] in (ST.geometric0, ST.geometric1,
+                                    ST.geometric2):
+                        emi = emi + self.ipb_plus[j]
+                    else:
+                        emi = emi + self.ipb_minus[j]
                 cand = prev[anc] + lt[anc, s]
                 bi = int(np.argmax(cand))
                 best = cand[bi]
@@ -485,10 +609,13 @@ class GoldEngine:
                 continue
             if emi == NEG_INF:
                 continue
-            if self.sm_bonus is not None:
+            if self.hints is not None:
                 # intronic sub-range of the splice windows
                 # (reference intron emiProbUnderModel: intronBegin/intronEnd)
-                smc = self.smcum
+                fwd_t = t in (ST.longdss0, ST.longdss1, ST.longdss2,
+                              ST.longass0, ST.longass1, ST.longass2,
+                              ST.equalD0, ST.equalD1, ST.equalD2)
+                smc = self.ipb_plus_cum if fwd_t else self.ipb_minus_cum
                 if t in (ST.longdss0, ST.longdss1, ST.longdss2):
                     emi = emi + smc[j + 1] - smc[j - DSS_MIDDLE - cn.dss_end + 1]
                 elif t in (ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
@@ -497,6 +624,12 @@ class GoldEngine:
                     emi = emi + smc[j - cn.ass_end + 1] - smc[eop + 1]
                 elif t in (ST.rlongass0, ST.rlongass1, ST.rlongass2):
                     emi = emi + smc[j + 1] - smc[eop + 1 + cn.ass_end]
+                elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
+                           ST.requalD0, ST.requalD1, ST.requalD2):
+                    # intronpart bonus over the segment + intron malus
+                    # (intronmodel.cc:531)
+                    emi = emi + smc[j + 1] - smc[eop + 1] \
+                        + self.log_malus["intron"]
             anc = self.ancestors[s]
             cand = v[eop][anc] + lt[anc, s]
             bi = int(np.argmax(cand))
@@ -544,6 +677,10 @@ class GoldEngine:
             # spliced in-frame stop codon exclusion (reference
             # intronmodel.cc:560-580 + emiProbUnderModel lessD branch)
             ok &= ~self._spliced_stop(t, bbi, ebi)
+            if self.hints is not None:
+                ipbc = self.ipb_plus_cum if fwd else self.ipb_minus_cum
+                seg = seg + (ipbc[j + 1] - ipbc[begins]) \
+                    + self.log_malus["intron"]
             length = ebi - bbi + 1
             ld = np.where((length >= 0) & (length <= self.inp.d),
                           self.log_len_intron[np.clip(length, 0,
@@ -635,6 +772,10 @@ class GoldEngine:
                 lmb = T.leftmost_exon_begin_raw(self.orf, g.win - 1,
                                                 j + cn.dss_start, True, cn, n)
                 end_part = NEG_INF if lmb >= j else 0.0
+            if end_part > NEG_INF and self.hints is not None:
+                p = j + cn.dss_start + 1
+                end_part = end_part + (self.dss_site_adj_p[p] if 0 <= p < n
+                                       else self.log_malus["dss"])
         else:  # rterminal*, rinternal*
             asspos = j + cn.ass_end + 1
             if j == n - 1:
@@ -644,6 +785,10 @@ class GoldEngine:
                 end_part = 0.0
             else:
                 end_part = NEG_INF
+            if end_part > NEG_INF and self.hints is not None:
+                p = j + cn.ass_end + 1
+                end_part = end_part + (self.ass_site_adj_m[p] if 0 <= p < n
+                                       else self.log_malus["ass"])
         if end_part == NEG_INF:
             return
 
@@ -737,6 +882,13 @@ class GoldEngine:
                                     ~T.is_possible_ass(sp.ass_ok, bob - 1))
             begin = np.where(bs > 0, np.where(shortcut, NEG_INF, 0.0),
                              np.where(bs == 0, 0.0, NEG_INF))
+            if self.hints is not None:
+                padj = np.where(
+                    (bob - 1 >= 0) & (bob - 1 < n),
+                    self.ass_site_adj_p[np.clip(bob - 1, 0, n - 1)],
+                    self.log_malus["ass"])
+                begin = np.where((bs > 0) & (begin > NEG_INF),
+                                 begin + padj, begin)
         elif t in (ST.rsingleG, ST.rterminal0, ST.rterminal1, ST.rterminal2):
             begin = np.where((bob >= 0) & (bob < n),
                              self.begin_rstop[np.clip(bob, 0, n - 1)], NEG_INF)
@@ -745,6 +897,13 @@ class GoldEngine:
                                    ~T.is_possible_rdss(sp.rdss_ok, bob - 1))
             begin = np.where(bs == 0, 0.0,
                              np.where(blocked, NEG_INF, 0.0))
+            if self.hints is not None:
+                # malus only when beginOfBioExon > 0 (exonmodel.cc:1534)
+                padj = np.where(
+                    (bob - 1 >= 0) & (bob - 1 < n),
+                    self.dss_site_adj_m[np.clip(bob - 1, 0, n - 1)], 0.0)
+                begin = np.where((bs != 0) & (begin > NEG_INF),
+                                 begin + padj, begin)
 
         # ---- restSeqProb ------------------------------------------------
         rest = self._rest_seq(t, c, g, bs, right, frame_of_right)
@@ -772,7 +931,89 @@ class GoldEngine:
             lp = np.where((exon_len >= 1) & (mod3(2 - exon_len) == g.win),
                           L3 + lend["terminal"][le], NEG_INF)
 
-        return begin + rest + lp
+        out = begin + rest + lp
+        if self.hints is not None:
+            out = out + self._exon_part_quot(t, g, bs, bob, exon_len,
+                                             end_of_bio)
+        return out
+
+    # ------------------------------------------------------------------
+    def _exon_part_quot(self, t: ST, g: ExonGeometry, bs: np.ndarray,
+                        bob: np.ndarray, exon_len: np.ndarray,
+                        end_of_bio: int) -> np.ndarray:
+        """exonpart/CDSpart/exon/CDS hint bonuses and maluses per candidate
+        (reference exonmodel.cc:1769-1860).  Vectorized over begins."""
+        h = self.hints
+        lm = self.log_malus
+        nb = bs.shape[0]
+        quot = np.zeros(nb)
+        part_bonus = np.zeros(nb)
+        nep = np.zeros(nb, dtype=np.int64)
+        num_ep = np.zeros(nb, dtype=np.int64)
+        num_cp = np.zeros(nb, dtype=np.int64)
+        exon_support = np.zeros(nb, dtype=bool)
+        cds_support = np.zeros(nb, dtype=bool)
+        fwd = g.forward
+        left_anchor = t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2,
+                            ST.rsingleG, ST.rterminal0, ST.rterminal1,
+                            ST.rterminal2)
+        right_anchor = t in (ST.singleG, ST.terminal, ST.rsingleG,
+                             ST.rinitial)
+        ebx = end_of_bio
+        parts = h.ovlping(["exonpart", "CDSpart", "exon", "CDS"],
+                          int(bob.min()), ebx, "both")
+        for f in parts:
+            strand_ok = (f.strand == ".") or                 (fwd == (f.strand == "+"))
+            LOGB = float(np.log(f.bonus))
+            if f.type in ("exonpart", "CDSpart"):
+                end_in = (f.end >= bob) & (f.end <= ebx)
+                if f.type == "exonpart":
+                    num_ep += end_in
+                else:
+                    num_cp += end_in
+                if strand_ok:
+                    inside = (f.start >= bob) & (f.end <= ebx)
+                    part_bonus += np.where(inside, LOGB, 0.0)
+                    nep += inside
+                    if f.type == "exonpart":
+                        if left_anchor:
+                            half = (~inside) & end_in
+                            part_bonus += np.where(half, 0.5 * LOGB, 0.0)
+                            nep += half
+                        if right_anchor:
+                            start_in = (~inside) & (f.start >= bob) &                                 (f.start <= ebx)
+                            part_bonus += np.where(start_in, 0.5 * LOGB, 0.0)
+                            nep += start_in
+            elif f.type == "CDS":
+                match = strand_ok & (f.start == bob) & (f.end == ebx)
+                quot += np.where(match, LOGB, 0.0)
+                cds_support |= match
+            elif f.type == "exon" and strand_ok:
+                if t in (ST.singleG, ST.rsingleG):
+                    pass
+                elif t in (ST.internal0, ST.internal1, ST.internal2,
+                           ST.rinternal0, ST.rinternal1, ST.rinternal2):
+                    match = (f.start == bob) & (f.end == ebx)
+                    quot += np.where(match, LOGB, 0.0)
+                    exon_support |= match
+                elif t in (ST.terminal, ST.rinitial):
+                    match = (f.start == bob) & (f.end > ebx)
+                    quot += np.where(match, 0.5 * LOGB, 0.0)
+                    exon_support |= match
+                else:
+                    match = (f.start < bob) & (f.end == ebx)
+                    quot += np.where(match, 0.5 * LOGB, 0.0)
+                    exon_support |= match
+        quot += part_bonus
+        # TODO: local part malus for unevenly supported CDS (nep >= 5)
+        # requires cfg local maluses != 1 (reference exonmodel.cc:1838)
+        ln_ep = exon_len - num_ep
+        ln_cp = exon_len - num_cp
+        quot += np.where(ln_ep > 0, ln_ep * lm["exonpart"], 0.0)
+        quot += np.where(ln_cp > 0, ln_cp * lm["CDSpart"], 0.0)
+        quot += np.where(~exon_support, lm["exon"], 0.0)
+        quot += np.where(~cds_support, lm["CDS"], 0.0)
+        return quot
 
     # ------------------------------------------------------------------
     def _rest_seq(self, t: ST, c: int, g: ExonGeometry, bs: np.ndarray,

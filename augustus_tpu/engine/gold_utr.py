@@ -362,13 +362,14 @@ def utr_step(eng, j: int, c: int, v, bp_state, bp_base) -> None:
             end_part = 0.0
         if end_part == NEG_INF:
             continue
-        if getattr(eng, "sm_bonus", None) is not None and ebx < j and \
+        if getattr(eng, "hints", None) is not None and ebx < j and \
                 t not in (ST.utr3single, ST.utr3term, ST.rutr5single,
                           ST.rutr5init):
             # intronpart/nonexonpart bonus for the intron bases inside the
             # splice windows handled by this exon state (reference
             # UtrModel::endPartEmiProb tail)
-            end_part = end_part + eng.smcum[j + 1] - eng.smcum[ebx + 1]
+            ipbc = eng.ipb_plus_cum if fwd else eng.ipb_minus_cum
+            end_part = end_part + ipbc[j + 1] - ipbc[ebx + 1]
 
         lo, hi = _pred_range(t, j, n, cn, uc, up)
         if t in (ST.utr5single, ST.utr5init):

@@ -198,8 +198,11 @@ def is_possible_rass(rass_ok: np.ndarray, pos) -> np.ndarray:
     return ok & rass_ok[np.clip(pos, 0, n - 1)]
 
 
-def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants
-                        ) -> SpliceTracks:
+def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
+                        hinted=None) -> SpliceTracks:
+    """hinted: optional (fD, rD, fA, rA) boolean arrays of hint-enabled
+    splice sites (reference isPossibleDSS merges genomic consensus with
+    hinted sites, include/statemodel.hh:98-117)."""
     n = codes.shape[0]
     A, C, G, T = genetics.A, genetics.C, genetics.G, genetics.T
 
@@ -211,6 +214,12 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants
         rdss_ok |= dinuc_at(codes, G, C)
     ass_ok = dinuc_at(codes, A, G)
     rass_ok = dinuc_at(codes, C, T)
+    if hinted is not None:
+        fD, rD, fA, rA = hinted
+        dss_ok = dss_ok | fD                       # 'gt'-indexed at pos
+        rdss_ok = rdss_ok | np.roll(rD, -1)        # pattern at pos-1
+        ass_ok = ass_ok | np.roll(fA, -1)
+        rass_ok = rass_ok | rA
 
     # ---- donor (DSS) windowed pattern score --------------------------------
     # forward window starting at base: [base, base+dss_start-1] then the GT at

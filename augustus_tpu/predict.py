@@ -37,6 +37,7 @@ class Model:
     utr: object = None
     utr_cfg: object = None
     ext_cfg: object = None
+    gff_hints: object = None
 
     @classmethod
     def load(cls, args: dict, config_path: Optional[str] = None) -> "Model":
@@ -59,13 +60,20 @@ class Model:
                                    cn.decomp_num_steps, cn, props, inp)
             utr_cfg = UtrConfig.from_properties(props)
         ext_cfg = None
+        gff_hints = None
         from .hints import config as hints_config
         path = hints_config.default_config_path(props)
         if path is not None and (cn.softmasking or "hintsfile" in props):
             ext_cfg = hints_config.read_extrinsic_cfg(path)
+        if "hintsfile" in props and ext_cfg is not None:
+            from .hints import system as hints_system
+            intron_geo = 1.0 - 1.0 / inp.gc[0].mal if inp.gc else None
+            gff_hints = hints_system.parse_gff_hints(
+                props.get("hintsfile"), ext_cfg, intron_geo=intron_geo)
         return cls(props=props, cn=cn, sg=sg, igp=igp, exp=exp, inp=inp,
                    decomp=decomp, gcode=genetics.GeneticCode(table),
-                   utr=utr, utr_cfg=utr_cfg, ext_cfg=ext_cfg)
+                   utr=utr, utr_cfg=utr_cfg, ext_cfg=ext_cfg,
+                   gff_hints=gff_hints)
 
 
 def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
@@ -81,15 +89,17 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
                       model.decomp, model.gcode, utr=model.utr,
                       utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
     softmask = genetics.softmask_runs(rec.sequence)
+    gff_hints = model.gff_hints.get(rec.name, []) \
+        if getattr(model, "gff_hints", None) is not None else None
     if engine == "scan":
         from .engine.device import build_tracks
         from .engine.scan import ScanEngine
-        gold.prepare(codes, softmask=softmask)
+        gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
         se = ScanEngine(build_tracks(gold))
         se.run()
         segments = se.traceback()
     else:
-        gold.run(codes, softmask=softmask)
+        gold.run(codes, softmask=softmask, gff_hints=gff_hints)
         segments = gold.traceback()
 
     path = og.condense_path(segments, codes.shape[0])
@@ -112,11 +122,11 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
             tid += 1
 
     o = og.OutputOptions.from_properties(model.props)
-    with_evidence = bool(getattr(gold, "has_hints", False))
+    with_evidence = bool(getattr(gold, "has_hints", False)) or \
+        getattr(model, "gff_hints", None) is not None
     if with_evidence:
-        from .hints.features import softmask_hints
         from .output import evidence as ev
-        groups = softmask_hints(softmask[: codes.shape[0]], model.ext_cfg)
+        groups = gold.hints.groups if gold.hints is not None else []
         for ag in agl:
             for tx in ag.transcripts:
                 ev.compile_evidence(tx, groups)

@@ -94,3 +94,19 @@ def test_softmask_utr_exact():
     want = normalize(open(os.path.join(
         DATA, "golden_human_sm3_utr.gff")).read())
     assert got == want
+
+
+@pytest.mark.slow
+def test_hints_mpe_exact():
+    """Matches the reference test_hints_MPE configuration
+    (tests/short/examples/test_examples.py:681)."""
+    from augustus_tpu.predict import Model, predict_file
+    model = Model.load({
+        "species": "human", "AUGUSTUS_CONFIG_PATH": REFERENCE_CONFIG,
+        "hintsfile": "/root/reference/examples/hints.gff",
+        "extrinsicCfgFile":
+            REFERENCE_CONFIG + "/extrinsic/extrinsic.MPE.cfg"})
+    got = normalize(predict_file(model, "/root/reference/examples/example.fa"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_mpe_hints.gff")).read())
+    assert got == want
