@@ -498,204 +498,252 @@ class GoldEngine:
     # ------------------------------------------------------------------
     # main DP
     # ------------------------------------------------------------------
-    def run(self, codes: np.ndarray, softmask=None, gff_hints=None) -> None:
+    def run(self, codes: np.ndarray, softmask=None, gff_hints=None,
+            need_forward: bool = False) -> None:
         self.prepare(codes, softmask=softmask, gff_hints=gff_hints)
         n, S = self.n, self.S
         v = np.full((n, S), NEG_INF)
         bp_state = np.full((n, S), -1, dtype=np.int16)
         bp_base = np.full((n, S), -1, dtype=np.int32)
         v[0] = self.log_init
+        f = None
+        if need_forward:
+            f = np.full((n, S), NEG_INF)
+            f[0] = self.log_init
 
-        types = self.sg.state_types
         reach = self.sg.reachable_states()
-        chain_states = [s for s in range(S)
-                        if types[s] == ST.igenic or
-                        types[s] in (ST.geometric0, ST.geometric1, ST.geometric2,
-                                     ST.rgeometric0, ST.rgeometric1, ST.rgeometric2)]
-        cn = self.cn
-        dsl = self.d_state_len
+        self._classify_states()
 
         for j in range(1, n):
             c = int(self.stairs[j])
-            lt = self.log_trans[c]
-            prev = v[j - 1]
-
-            # ---- per-base chain states (igenic + geometric introns)
-            for s in chain_states:
+            for s in range(S):
                 if not reach[s]:
                     continue
-                anc = self.ancestors[s]
-                emi = (self.ig_track[c][j] if types[s] == ST.igenic
-                       else self.intron_f[c][j])
-                if self.hints is not None and types[s] != ST.igenic:
-                    if types[s] in (ST.geometric0, ST.geometric1,
-                                    ST.geometric2):
-                        emi = emi + self.ipb_plus[j]
-                    else:
-                        emi = emi + self.ipb_minus[j]
-                cand = prev[anc] + lt[anc, s]
-                bi = int(np.argmax(cand))
-                best = cand[bi]
-                if best > NEG_INF:
-                    v[j, s] = best + emi
-                    bp_state[j, s] = anc[bi]
-                    bp_base[j, s] = j - 1
-
-            # ---- fixed-length intron states
-            self._fixed_intron_step(j, c, v, bp_state, bp_base)
-
-            # ---- variable-length lessD introns
-            self._lessD_step(j, c, v, bp_state, bp_base)
-
-            # ---- exon states
-            for s, t in self.exon_states:
-                if reach[s]:
-                    self._exon_step(j, c, s, t, v, bp_state, bp_base)
-
-            # ---- UTR states
-            if self.utr_states:
-                from . import gold_utr
-                gold_utr.utr_step(self, j, c, v, bp_state, bp_base)
+                res = self._state_cands(j, c, s, v)
+                if res is not None:
+                    w, preds, eops = res
+                    bi = int(np.argmax(w))
+                    if w[bi] > NEG_INF:
+                        v[j, s] = w[bi]
+                        bp_state[j, s] = preds[bi]
+                        bp_base[j, s] = eops[bi]
+                if need_forward:
+                    resf = self._state_cands(j, c, s, f)
+                    if resf is not None:
+                        wf = resf[0]
+                        m = np.max(wf)
+                        if m > NEG_INF:
+                            f[j, s] = m + np.log(
+                                np.sum(np.exp(wf - m)))
 
         self.v = v
+        self.f = f
         self.bp_state = bp_state
         self.bp_base = bp_base
 
     # ------------------------------------------------------------------
-    def _fixed_intron_step(self, j, c, v, bp_state, bp_base) -> None:
-        cn = self.cn
+    def _classify_states(self) -> None:
         types = self.sg.state_types
-        lt = self.log_trans[c]
-        sp = self.splice
-        dsl = self.d_state_len
-        for s, t in enumerate(types):
-            if t in (ST.longdss0, ST.longdss1, ST.longdss2):
-                eop = j - cn.dss_whole_size
-                if eop < 0 or not T.is_possible_dss(
-                        sp.dss_ok, j - cn.dss_end - DSS_MIDDLE + 1):
-                    continue
-                emi = sp.dss_score[j - cn.dss_whole_size + 1]
-            elif t in (ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
-                eop = j - cn.dss_whole_size
-                if eop < 0 or not T.is_possible_rdss(sp.rdss_ok,
-                                                     j - cn.dss_start):
-                    continue
-                emi = sp.rdss_score[j - cn.dss_whole_size + 1]
-            elif t in (ST.equalD0, ST.equalD1, ST.equalD2):
-                eop = j - dsl
-                if eop < 0:
-                    continue
-                emi = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][eop + 1]
-            elif t in (ST.requalD0, ST.requalD1, ST.requalD2):
-                # quirk: requalD uses forward-strand patterns
-                # (reference IntronModel::seqProb generic branch)
-                eop = j - dsl
-                if eop < 0:
-                    continue
-                emi = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][eop + 1]
-            elif t in (ST.longass0, ST.longass1, ST.longass2):
-                eop = j - cn.ass_whole_size - cn.ass_upwindow_size
-                if eop < 0 or not T.is_possible_ass(sp.ass_ok, j - cn.ass_end):
-                    continue
-                emi = sp.ass_score[c][eop + 1]
-            elif t in (ST.rlongass0, ST.rlongass1, ST.rlongass2):
-                eop = j - cn.ass_whole_size - cn.ass_upwindow_size
-                if eop < 0 or not T.is_possible_rass(
-                        sp.rass_ok,
-                        j - cn.ass_upwindow_size - cn.ass_start - ASS_MIDDLE + 1):
-                    continue
-                emi = sp.rass_score[c][eop + 1]
+        self._kind = []
+        for s in range(self.S):
+            t = types[s]
+            mc = self.sg.model_class[s]
+            if t == ST.igenic or t in (
+                    ST.geometric0, ST.geometric1, ST.geometric2,
+                    ST.rgeometric0, ST.rgeometric1, ST.rgeometric2):
+                self._kind.append("chain")
+            elif t in (ST.lessD0, ST.lessD1, ST.lessD2,
+                       ST.rlessD0, ST.rlessD1, ST.rlessD2):
+                self._kind.append("lessd")
+            elif mc == "intronmodel":
+                self._kind.append("fixed")
+            elif mc == "exonmodel":
+                self._kind.append("exon")
+            elif mc == "utrmodel":
+                self._kind.append("utr")
             else:
-                continue
-            if emi == NEG_INF:
-                continue
-            if self.hints is not None:
-                # intronic sub-range of the splice windows
-                # (reference intron emiProbUnderModel: intronBegin/intronEnd)
-                fwd_t = t in (ST.longdss0, ST.longdss1, ST.longdss2,
-                              ST.longass0, ST.longass1, ST.longass2,
-                              ST.equalD0, ST.equalD1, ST.equalD2)
-                smc = self.ipb_plus_cum if fwd_t else self.ipb_minus_cum
-                if t in (ST.longdss0, ST.longdss1, ST.longdss2):
-                    emi = emi + smc[j + 1] - smc[j - DSS_MIDDLE - cn.dss_end + 1]
-                elif t in (ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
-                    emi = emi + smc[j - cn.dss_start + 1] - smc[eop + 1]
-                elif t in (ST.longass0, ST.longass1, ST.longass2):
-                    emi = emi + smc[j - cn.ass_end + 1] - smc[eop + 1]
-                elif t in (ST.rlongass0, ST.rlongass1, ST.rlongass2):
-                    emi = emi + smc[j + 1] - smc[eop + 1 + cn.ass_end]
-                elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
-                           ST.requalD0, ST.requalD1, ST.requalD2):
-                    # intronpart bonus over the segment + intron malus
-                    # (intronmodel.cc:531)
-                    emi = emi + smc[j + 1] - smc[eop + 1] \
-                        + self.log_malus["intron"]
-            anc = self.ancestors[s]
-            cand = v[eop][anc] + lt[anc, s]
-            bi = int(np.argmax(cand))
-            if cand[bi] > NEG_INF:
-                v[j, s] = cand[bi] + emi
-                bp_state[j, s] = anc[bi]
-                bp_base[j, s] = eop
+                self._kind.append("other")
+
+    def _state_cands(self, j, c, s, table):
+        """Candidate (weights, pred states, pred end positions) for state s
+        at position j, in reference iteration order (argmax-first ==
+        reference strictly-greater update order)."""
+        kind = self._kind[s]
+        t = self.sg.state_types[s]
+        if kind == "chain":
+            return self._chain_cands(j, c, s, table)
+        if kind == "fixed":
+            return self._fixed_intron_cands(j, c, s, t, table)
+        if kind == "lessd":
+            return self._lessd_cands(j, c, s, t, table)
+        if kind == "exon":
+            return self._exon_cands(j, c, s, t, table)
+        if kind == "utr":
+            from . import gold_utr
+            return gold_utr.utr_cands(self, j, c, s, t, table)
+        return None
 
     # ------------------------------------------------------------------
-    def _lessD_step(self, j, c, v, bp_state, bp_base) -> None:
-        cn, n = self.cn, self.n
+    def sample_path(self, rng) -> List[Tuple[int, int, ST]]:
+        """Ancestral sampling from the forward table (reference
+        NAMGene::getSampledPath, src/namgene.cc:367)."""
+        assert self.f is not None, "run(need_forward=True) first"
+        n, S = self.n, self.S
+        last = self.f[n - 1] + self.log_term
+        state = self._sample_categorical(rng, last)
+        segs: List[Tuple[int, int, ST]] = []
+        base = n - 1
         types = self.sg.state_types
-        lt = self.log_trans[c]
+        while base > 0:
+            c = int(self.stairs[base])
+            res = self._state_cands(base, c, state, self.f)
+            if res is None:
+                raise RuntimeError(
+                    f"sampling stuck at base {base} state {state}")
+            w, preds, eops = res
+            k = self._sample_categorical(rng, w)
+            segs.append((int(eops[k]) + 1, base, types[state]))
+            base, state = int(eops[k]), int(preds[k])
+        segs.reverse()
+        return segs
+
+    @staticmethod
+    def _sample_categorical(rng, logw: np.ndarray) -> int:
+        m = np.max(logw)
+        if m == NEG_INF:
+            raise RuntimeError("sampling from empty distribution")
+        p = np.exp(logw - m)
+        p = p / p.sum()
+        return int(rng.choice(p.shape[0], p=p))
+
+    def _chain_cands(self, j, c, s, table):
+        """Candidates for per-base chain states; returns (w, preds, eops)."""
+        types = self.sg.state_types
+        anc = self.ancestors[s]
+        emi = (self.ig_track[c][j] if types[s] == ST.igenic
+               else self.intron_f[c][j])
+        if self.hints is not None and types[s] != ST.igenic:
+            if types[s] in (ST.geometric0, ST.geometric1, ST.geometric2):
+                emi = emi + self.ipb_plus[j]
+            else:
+                emi = emi + self.ipb_minus[j]
+        w = table[j - 1][anc] + self.log_trans[c][anc, s] + emi
+        return w, anc, np.full(anc.shape[0], j - 1)
+
+    def _fixed_intron_cands(self, j, c, s, t, table):
+        cn = self.cn
         sp = self.splice
         dsl = self.d_state_len
-        codes = self.codes
-        for s, t in enumerate(types):
-            fwd = t in (ST.lessD0, ST.lessD1, ST.lessD2)
-            rev = t in (ST.rlessD0, ST.rlessD1, ST.rlessD2)
-            if not (fwd or rev):
-                continue
-            if fwd:
-                ebi = j + cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
-                if ebi - ASS_MIDDLE + 1 < n - 1 and not T.is_possible_ass(
-                        sp.ass_ok, ebi):
-                    continue
-            else:
-                ebi = j + cn.dss_end + DSS_MIDDLE
-                if ebi - DSS_MIDDLE + 1 < n - 1 and not T.is_possible_rdss(
-                        sp.rdss_ok, ebi):
-                    continue
-            lo = max(j - dsl, 0)
-            eops = np.arange(j - 1, lo - 1, -1)       # descending like reference
-            if eops.size == 0:
-                continue
-            begins = eops + 1
-            if fwd:
-                bbi = begins - cn.dss_end - DSS_MIDDLE
-                ok = ~((bbi >= 0) & ~T.is_possible_dss(sp.dss_ok, bbi))
-                seg = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][begins]
-            else:
-                bbi = begins - cn.ass_outside
-                ok = ~((bbi >= 0) & ~T.is_possible_rass(sp.rass_ok, bbi))
-                seg = self.cum_intron_r[c][j + 1] - self.cum_intron_r[c][begins]
-            # spliced in-frame stop codon exclusion (reference
-            # intronmodel.cc:560-580 + emiProbUnderModel lessD branch)
-            ok &= ~self._spliced_stop(t, bbi, ebi)
-            if self.hints is not None:
-                ipbc = self.ipb_plus_cum if fwd else self.ipb_minus_cum
-                seg = seg + (ipbc[j + 1] - ipbc[begins]) \
+        n = self.n
+        if t in (ST.longdss0, ST.longdss1, ST.longdss2):
+            eop = j - cn.dss_whole_size
+            if eop < 0 or not T.is_possible_dss(
+                    sp.dss_ok, j - cn.dss_end - DSS_MIDDLE + 1):
+                return None
+            emi = sp.dss_score[j - cn.dss_whole_size + 1]
+        elif t in (ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
+            eop = j - cn.dss_whole_size
+            if eop < 0 or not T.is_possible_rdss(sp.rdss_ok,
+                                                 j - cn.dss_start):
+                return None
+            emi = sp.rdss_score[j - cn.dss_whole_size + 1]
+        elif t in (ST.equalD0, ST.equalD1, ST.equalD2):
+            eop = j - dsl
+            if eop < 0:
+                return None
+            emi = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][eop + 1]
+        elif t in (ST.requalD0, ST.requalD1, ST.requalD2):
+            # quirk: requalD uses forward-strand patterns
+            # (reference IntronModel::seqProb generic branch)
+            eop = j - dsl
+            if eop < 0:
+                return None
+            emi = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][eop + 1]
+        elif t in (ST.longass0, ST.longass1, ST.longass2):
+            eop = j - cn.ass_whole_size - cn.ass_upwindow_size
+            if eop < 0 or not T.is_possible_ass(sp.ass_ok, j - cn.ass_end):
+                return None
+            emi = sp.ass_score[c][eop + 1]
+        elif t in (ST.rlongass0, ST.rlongass1, ST.rlongass2):
+            eop = j - cn.ass_whole_size - cn.ass_upwindow_size
+            if eop < 0 or not T.is_possible_rass(
+                    sp.rass_ok,
+                    j - cn.ass_upwindow_size - cn.ass_start - ASS_MIDDLE + 1):
+                return None
+            emi = sp.rass_score[c][eop + 1]
+        else:
+            return None
+        if emi == NEG_INF:
+            return None
+        if self.hints is not None:
+            # intronic sub-range of the splice windows
+            # (reference intron emiProbUnderModel: intronBegin/intronEnd)
+            fwd_t = t in (ST.longdss0, ST.longdss1, ST.longdss2,
+                          ST.longass0, ST.longass1, ST.longass2,
+                          ST.equalD0, ST.equalD1, ST.equalD2)
+            smc = self.ipb_plus_cum if fwd_t else self.ipb_minus_cum
+            if t in (ST.longdss0, ST.longdss1, ST.longdss2):
+                emi = emi + smc[j + 1] - smc[j - DSS_MIDDLE - cn.dss_end + 1]
+            elif t in (ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
+                emi = emi + smc[j - cn.dss_start + 1] - smc[eop + 1]
+            elif t in (ST.longass0, ST.longass1, ST.longass2):
+                emi = emi + smc[j - cn.ass_end + 1] - smc[eop + 1]
+            elif t in (ST.rlongass0, ST.rlongass1, ST.rlongass2):
+                emi = emi + smc[j + 1] - smc[eop + 1 + cn.ass_end]
+            elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
+                       ST.requalD0, ST.requalD1, ST.requalD2):
+                emi = emi + smc[j + 1] - smc[eop + 1] \
                     + self.log_malus["intron"]
-            length = ebi - bbi + 1
-            ld = np.where((length >= 0) & (length <= self.inp.d),
-                          self.log_len_intron[np.clip(length, 0,
-                                                      self.inp.d)], NEG_INF)
-            emi = np.where(ok, seg + ld, NEG_INF)
-            anc = self.ancestors[s]
-            # candidates over (eop desc, ancestors asc)
-            cand = v[eops][:, anc] + lt[anc, s][None, :] + emi[:, None]
-            flat = int(np.argmax(cand))
-            best = cand.flat[flat]
-            if best > NEG_INF:
-                r, a = divmod(flat, anc.shape[0])
-                v[j, s] = best
-                bp_state[j, s] = anc[a]
-                bp_base[j, s] = eops[r]
+        anc = self.ancestors[s]
+        w = table[eop][anc] + self.log_trans[c][anc, s] + emi
+        return w, anc, np.full(anc.shape[0], eop)
+
+    def _lessd_cands(self, j, c, s, t, table):
+        cn, n = self.cn, self.n
+        sp = self.splice
+        dsl = self.d_state_len
+        fwd = t in (ST.lessD0, ST.lessD1, ST.lessD2)
+        if fwd:
+            ebi = j + cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
+            if ebi - ASS_MIDDLE + 1 < n - 1 and not T.is_possible_ass(
+                    sp.ass_ok, ebi):
+                return None
+        else:
+            ebi = j + cn.dss_end + DSS_MIDDLE
+            if ebi - DSS_MIDDLE + 1 < n - 1 and not T.is_possible_rdss(
+                    sp.rdss_ok, ebi):
+                return None
+        lo = max(j - dsl, 0)
+        eops = np.arange(j - 1, lo - 1, -1)       # descending like reference
+        if eops.size == 0:
+            return None
+        begins = eops + 1
+        if fwd:
+            bbi = begins - cn.dss_end - DSS_MIDDLE
+            ok = ~((bbi >= 0) & ~T.is_possible_dss(sp.dss_ok, bbi))
+            seg = self.cum_intron_f[c][j + 1] - self.cum_intron_f[c][begins]
+        else:
+            bbi = begins - cn.ass_outside
+            ok = ~((bbi >= 0) & ~T.is_possible_rass(sp.rass_ok, bbi))
+            seg = self.cum_intron_r[c][j + 1] - self.cum_intron_r[c][begins]
+        # spliced in-frame stop codon exclusion (reference
+        # intronmodel.cc:560-580 + emiProbUnderModel lessD branch)
+        ok &= ~self._spliced_stop(t, bbi, ebi)
+        if self.hints is not None:
+            ipbc = self.ipb_plus_cum if fwd else self.ipb_minus_cum
+            seg = seg + (ipbc[j + 1] - ipbc[begins]) \
+                + self.log_malus["intron"]
+        length = ebi - bbi + 1
+        ld = np.where((length >= 0) & (length <= self.inp.d),
+                      self.log_len_intron[np.clip(length, 0,
+                                                  self.inp.d)], NEG_INF)
+        emi = np.where(ok, seg + ld, NEG_INF)
+        anc = self.ancestors[s]
+        w = table[eops][:, anc] + self.log_trans[c][anc, s][None, :] \
+            + emi[:, None]
+        na = anc.shape[0]
+        return (w.reshape(-1), np.tile(anc, eops.shape[0]),
+                np.repeat(eops, na))
 
     def _spliced_stop(self, t: ST, bbi: np.ndarray, ebi: int) -> np.ndarray:
         """True where splicing the intron [bbi..ebi] with state type t joins a
@@ -746,11 +794,10 @@ class GoldEngine:
         return out
 
     # ------------------------------------------------------------------
-    def _exon_step(self, j, c, s, t, v, bp_state, bp_base) -> None:
+    def _exon_cands(self, j, c, s, t, table):
         cn, n = self.cn, self.n
         g = self.geom[t]
         sp = self.splice
-        lt = self.log_trans[c]
 
         # ---- endPart ----------------------------------------------------
         if t in (ST.singleG, ST.terminal):
@@ -790,12 +837,12 @@ class GoldEngine:
                 end_part = end_part + (self.ass_site_adj_m[p] if 0 <= p < n
                                        else self.log_malus["ass"])
         if end_part == NEG_INF:
-            return
+            return None
 
         end_of_bio = j + g.base_offset
         right = end_of_bio - g.inner_part_end_offset
         if right < 0:
-            return
+            return None
         if g.forward:
             frame_of_right = mod3(g.win - (end_of_bio + 1) + right)
         else:
@@ -820,25 +867,26 @@ class GoldEngine:
             if start_max > j + g.begin_part_len:
                 start_max = j + g.begin_part_len
         if start_max < start_min:
-            return
+            return None
 
         bs = np.arange(start_max, start_min - 1, -1)     # descending
         eops = bs - g.begin_part_len - 1
         keep = eops < n
         bs, eops = bs[keep], eops[keep]
         if bs.size == 0:
-            return
+            return None
 
         note = self._not_end_part(t, c, g, bs, right, int(frame_of_right))
         valid = note > NEG_INF
         if not valid.any():
-            return
+            return None
 
         bob = bs - g.inner_part_offset
         exon_len = end_of_bio - bob + 1
         anc = self.ancestors[s]
         pred_cols = np.maximum(eops, 0)
-        pv = v[pred_cols][:, anc]                        # (nb, na)
+        pv = table[pred_cols][:, anc]                    # (nb, na)
+        lt = self.log_trans[c]
         total = pv + lt[anc, s][None, :] + (end_part + note)[:, None]
 
         # reading-frame compatibility with the predecessor state
@@ -853,15 +901,10 @@ class GoldEngine:
             total = np.where(need == g.win, total, NEG_INF)
 
         total = np.where(valid[:, None], total, NEG_INF)
-        flat = int(np.argmax(total))
-        best = total.flat[flat]
-        if best > NEG_INF and best > v[j, s]:
-            r, a = divmod(flat, anc.shape[0])
-            v[j, s] = best
-            bp_state[j, s] = anc[a]
-            bp_base[j, s] = eops[r]
+        na = anc.shape[0]
+        return (total.reshape(-1), np.tile(anc, bs.shape[0]),
+                np.repeat(eops, na))
 
-    # ------------------------------------------------------------------
     def _not_end_part(self, t: ST, c: int, g: ExonGeometry, bs: np.ndarray,
                       right: int, frame_of_right: int) -> np.ndarray:
         """Vectorized ExonModel::notEndPartEmiProb over begin positions."""

@@ -297,107 +297,91 @@ def get_end_positions(t: ST, j: int, n: int, cn: Constants, uc: UtrConfig,
     return j + 1, j
 
 
-def utr_step(eng, j: int, c: int, v, bp_state, bp_base) -> None:
-    """Process all UTR states at DP position j (viterbi only)."""
+def utr_cands(eng, j: int, c: int, s: int, t: ST, table):
+    """Candidates for one UTR state at position j (viterbi/forward)."""
     sg, cn, uc = eng.sg, eng.cn, eng.utr_cfg
     up: UtrParams = eng.utr
     n = eng.n
     lt = eng.log_trans[c]
-    sp = eng.splice
     codes = eng.codes
     boxlen = up.aataaa_boxlen
-    tiw = cn.trans_init_window
-    tss_up = cn.tss_upwindow_size
-    te = uc.tss_end
     dpc = uc.d_polyasig_cleavage
-    k = up.k
 
-    for s, t in eng.utr_states:
-        if t in UTR_VAR:
-            continue   # hints-only states (see module docstring)
-        if t in UTR_CHAIN:
-            # per-base intron chain state; strand-independent forward
-            # patterns (reference notEndPartEmiProb utr5intron branch)
-            anc = eng.ancestors[s]
-            cand = v[j - 1][anc] + lt[anc, s]
-            bi = int(np.argmax(cand))
-            if cand[bi] > NEG_INF:
-                # NB: UTR intron interiors get no softmask/intronpart bonus
-                # in the reference (endPartEmiProb excludes isIntron states)
-                emi = eng.intron_f_nb[c][j] if hasattr(eng, "intron_f_nb") \
-                    else eng.intron_f[c][j]
-                v[j, s] = cand[bi] + emi
-                bp_state[j, s] = anc[bi]
-                bp_base[j, s] = j - 1
-            continue
-
-        fwd = is_on_f_strand(t)
-        bep, ebx = get_end_positions(t, j, n, cn, uc, boxlen)
-
-        # ---------------- endPart --------------------------------------
-        if t in (ST.utr5single, ST.utr5term):
-            if (ebx + 3 <= n - 1) and not _is_start(codes, ebx + 1):
-                continue
-            end_part = 0.0
-        elif t in (ST.utr5internal, ST.utr5init, ST.utr3internal,
-                   ST.utr3init):
-            end_part = sp.dss_score[j - cn.dss_whole_size + 1] \
-                if j - cn.dss_whole_size + 1 >= 0 else NEG_INF
-        elif t in (ST.rutr5internal, ST.rutr5term, ST.rutr3internal,
-                   ST.rutr3term):
-            start = j - cn.ass_upwindow_size - cn.ass_whole_size + 1
-            end_part = sp.rass_score[c][start] if start >= 0 else NEG_INF
-        elif t in (ST.rutr5single, ST.rutr5init):
-            end_part = eng.tss_minus[c][bep] if 0 <= bep < n else NEG_INF
-        elif t in (ST.utr3single, ST.utr3term):
-            if j == n - 1:
-                end_part = 0.0
-            elif bep < 0 or bep + boxlen - 1 >= n:
-                continue
-            else:
-                end_part = eng.tts_plus[c][bep]
-        else:   # rutr3single, rutr3init: reverse stop codon right after
-            if (j + 3 > n - 1) or not _is_rc_stop(eng, j + 1):
-                continue
-            end_part = 0.0
-        if end_part == NEG_INF:
-            continue
-        if getattr(eng, "hints", None) is not None and ebx < j and \
-                t not in (ST.utr3single, ST.utr3term, ST.rutr5single,
-                          ST.rutr5init):
-            # intronpart/nonexonpart bonus for the intron bases inside the
-            # splice windows handled by this exon state (reference
-            # UtrModel::endPartEmiProb tail)
-            ipbc = eng.ipb_plus_cum if fwd else eng.ipb_minus_cum
-            end_part = end_part + ipbc[j + 1] - ipbc[ebx + 1]
-
-        lo, hi = _pred_range(t, j, n, cn, uc, up)
-        if t in (ST.utr5single, ST.utr5init):
-            lo = max(lo, -tss_up)
-        elif t in (ST.rutr3single, ST.rutr3term):
-            lo = max(lo, -boxlen - dpc)
-        else:
-            lo = max(lo, 0)
-        if hi < lo:
-            continue
-
-        eops = np.arange(hi, lo - 1, -1)
-        note = _not_end_part(eng, t, c, eops + 1, bep - 1, ebx)
-        valid = note > NEG_INF
-        if not valid.any():
-            continue
+    if t in UTR_VAR:
+        return None   # hints-only states (see module docstring)
+    if t in UTR_CHAIN:
+        # per-base intron chain state; strand-independent forward
+        # patterns; no softmask/intronpart bonus in the reference
         anc = eng.ancestors[s]
-        pred_cols = np.maximum(eops, 0)
-        pv = v[pred_cols][:, anc]
-        total = pv + lt[anc, s][None, :] + (end_part + note)[:, None]
-        total = np.where(valid[:, None], total, NEG_INF)
-        flat = int(np.argmax(total))
-        best = total.flat[flat]
-        if best > NEG_INF and best > v[j, s]:
-            r, a = divmod(flat, anc.shape[0])
-            v[j, s] = best
-            bp_state[j, s] = anc[a]
-            bp_base[j, s] = eops[r]
+        emi = eng.intron_f_nb[c][j] if hasattr(eng, "intron_f_nb") \
+            else eng.intron_f[c][j]
+        w = table[j - 1][anc] + lt[anc, s] + emi
+        return w, anc, np.full(anc.shape[0], j - 1)
+
+    fwd = is_on_f_strand(t)
+    sp = eng.splice
+    bep, ebx = get_end_positions(t, j, n, cn, uc, boxlen)
+
+    # ---------------- endPart --------------------------------------
+    if t in (ST.utr5single, ST.utr5term):
+        if (ebx + 3 <= n - 1) and not _is_start(codes, ebx + 1):
+            return None
+        end_part = 0.0
+    elif t in (ST.utr5internal, ST.utr5init, ST.utr3internal,
+               ST.utr3init):
+        end_part = sp.dss_score[j - cn.dss_whole_size + 1] \
+            if j - cn.dss_whole_size + 1 >= 0 else NEG_INF
+    elif t in (ST.rutr5internal, ST.rutr5term, ST.rutr3internal,
+               ST.rutr3term):
+        start = j - cn.ass_upwindow_size - cn.ass_whole_size + 1
+        end_part = sp.rass_score[c][start] if start >= 0 else NEG_INF
+    elif t in (ST.rutr5single, ST.rutr5init):
+        end_part = eng.tss_minus[c][bep] if 0 <= bep < n else NEG_INF
+    elif t in (ST.utr3single, ST.utr3term):
+        if j == n - 1:
+            end_part = 0.0
+        elif bep < 0 or bep + boxlen - 1 >= n:
+            return None
+        else:
+            end_part = eng.tts_plus[c][bep]
+    else:   # rutr3single, rutr3init: reverse stop codon right after
+        if (j + 3 > n - 1) or not _is_rc_stop(eng, j + 1):
+            return None
+        end_part = 0.0
+    if end_part == NEG_INF:
+        return None
+    if getattr(eng, "hints", None) is not None and ebx < j and \
+            t not in (ST.utr3single, ST.utr3term, ST.rutr5single,
+                      ST.rutr5init):
+        # intronpart/nonexonpart bonus for the intron bases inside the
+        # splice windows handled by this exon state (reference
+        # UtrModel::endPartEmiProb tail)
+        ipbc = eng.ipb_plus_cum if fwd else eng.ipb_minus_cum
+        end_part = end_part + ipbc[j + 1] - ipbc[ebx + 1]
+
+    lo, hi = _pred_range(t, j, n, cn, uc, up)
+    if t in (ST.utr5single, ST.utr5init):
+        lo = max(lo, -cn.tss_upwindow_size)
+    elif t in (ST.rutr3single, ST.rutr3term):
+        lo = max(lo, -boxlen - dpc)
+    else:
+        lo = max(lo, 0)
+    if hi < lo:
+        return None
+
+    eops = np.arange(hi, lo - 1, -1)
+    note = _not_end_part(eng, t, c, eops + 1, bep - 1, ebx)
+    valid = note > NEG_INF
+    if not valid.any():
+        return None
+    anc = eng.ancestors[s]
+    pred_cols = np.maximum(eops, 0)
+    pv = table[pred_cols][:, anc]
+    total = pv + lt[anc, s][None, :] + (end_part + note)[:, None]
+    total = np.where(valid[:, None], total, NEG_INF)
+    na = anc.shape[0]
+    return (total.reshape(-1), np.tile(anc, eops.shape[0]),
+            np.repeat(eops, na))
 
 
 def _is_start(codes, pos) -> bool:

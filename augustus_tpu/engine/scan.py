@@ -323,12 +323,17 @@ def make_scan_fn(st: ScanStatic):
                 BSwin = jax.lax.dynamic_slice(
                     arrays["lessd_bstop_all"], (0, j - WB + PAD), (NLD, WB))
 
-            vals = jnp.full((S,), NEG)
-            bps = jnp.zeros((S,), dtype=jnp.int32)
+            put_idx: list = []
+            put_val: list = []
+            put_bp: list = []
 
-            def put(vals, bps, s, v, pred, off):
-                return (vals.at[s].set(v),
-                        bps.at[s].set((pred << 20) | off))
+            def put(_v, _b, s, v, pred, off):
+                put_idx.append(s)
+                put_val.append(v)
+                put_bp.append((pred << 20) | off)
+                return _v, _b
+
+            vals = bps = None
 
             # ---- chain -------------------------------------------------
             for csd in st.chain:
@@ -376,8 +381,10 @@ def make_scan_fn(st: ScanStatic):
                 score = jnp.where(ok & (lslice > GATE),
                                   lslice + seg + arrays[lsd.lenvec_key] +
                                   srow[lsd.psi_col], NEG)
-                ridx = W - 1 - jnp.argmax(score[::-1])
-                best = score[ridx]
+                best = jnp.max(score)
+                widx2 = jax.lax.iota(jnp.int32, W)
+                ridx = jnp.max(jnp.where(score == best, widx2, -1))
+                ridx = jnp.maximum(ridx, 0)
                 gated = (irow[lsd.jgate_col] != 0) & (best > GATE)
                 v = jnp.where(gated, best, NEG)
                 pred = aslice[ridx].astype(jnp.int32)
@@ -438,9 +445,11 @@ def make_scan_fn(st: ScanStatic):
                         okb = (b >= smin) & (b <= smax)
                         score = jnp.where(okb & (L > GATE) & (G > GATE),
                                           L + G + lvd, NEG)
-                        ridx = width - 1 - jnp.argmax(score[::-1])
-                        vbest = jnp.where((score[ridx] > GATE) & (H > GATE),
-                                          score[ridx] + H, NEG)
+                        sbest = jnp.max(score)
+                        ridx = jnp.max(jnp.where(score == sbest, widx, -1))
+                        ridx = jnp.maximum(ridx, 0)
+                        vbest = jnp.where((sbest > GATE) & (H > GATE),
+                                          sbest + H, NEG)
                         take = vbest > best
                         best = jnp.where(take, vbest, best)
                         bpred = jnp.where(take, A[ridx].astype(jnp.int32),
@@ -454,6 +463,10 @@ def make_scan_fn(st: ScanStatic):
                     lambda: (NEG, jnp.int32(0), jnp.int32(1)))
                 vals, bps = put(vals, bps, s, v, pred, off)
 
+            idx = jnp.asarray(np.array(put_idx, dtype=np.int32))
+            vals = jnp.full((S,), NEG).at[idx].set(jnp.stack(put_val))
+            bps = jnp.zeros((S,), dtype=jnp.int32).at[idx].set(
+                jnp.stack(put_bp))
             lane_cand = vals[None, :] + lane_trans
             lane_argj = jnp.argmax(lane_cand, axis=1).astype(jnp.int8)
             lane_valj = jnp.max(lane_cand, axis=1)
