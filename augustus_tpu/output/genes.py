@@ -46,6 +46,7 @@ class PathState:
     frame_mod: int = 0
     has_score: bool = False
     apostprob: float = 0.0
+    sample_count: int = 0
 
     def length(self) -> int:
         return self.end - self.begin + 1
@@ -213,6 +214,95 @@ class Gene:
                                    for e in self.exons),
                 tuple((e.begin, e.end) for e in self.utr5exons),
                 tuple((e.begin, e.end) for e in self.utr3exons))
+
+    # -- posterior-probability machinery (reference gene.cc:1068-1240) -----
+    def ex_in_heads(self) -> List[List[PathState]]:
+        """reference Gene::getExInHeads (gene.hh:379)."""
+        return [self.exons, self.introns, self.utr5exons, self.utr3exons]
+
+    def _all_states(self):
+        for sl in self.ex_in_heads():
+            for st in sl:
+                yield st
+
+    def set_state_postprobs(self, p: float) -> None:
+        for st in self._all_states():
+            st.apostprob = p
+            st.has_score = True
+
+    def add_state_postprobs(self, p: float) -> None:
+        for st in self._all_states():
+            st.apostprob += p
+            st.has_score = True
+
+    def set_sample_count(self, k: int) -> None:
+        for st in self._all_states():
+            st.sample_count = k
+
+    def add_sample_count(self, k: int) -> None:
+        for st in self._all_states():
+            st.sample_count += k
+
+    def set_state_has_score(self, has: bool) -> None:
+        for st in self._all_states():
+            st.has_score = has
+
+    def norm_post_prob(self, n: float) -> None:
+        """reference Transcript::normPostProb (gene.cc:1180); the reference
+        stores apostprob as C `float`, so divide in float32."""
+        self.apostprob = float(np.float32(self.apostprob) / np.float32(n))
+        for st in self._all_states():
+            st.apostprob = float(np.float32(st.apostprob) / np.float32(n))
+
+    def states_equal(self, other: "Gene") -> bool:
+        """reference Transcript::operator== (gene.cc:1150): pairwise
+        begin/end equality over the four state lists (types NOT compared)."""
+        for sl1, sl2 in zip(self.ex_in_heads(), other.ex_in_heads()):
+            if len(sl1) != len(sl2):
+                return False
+            for a, b in zip(sl1, sl2):
+                if a.begin != b.begin or a.end != b.end:
+                    return False
+        return True
+
+    def update_post_prob(self, other: "Gene") -> None:
+        """reference Transcript::updatePostProb (gene.cc:1202): merge-compare
+        each sorted state list; on a begin/end/type match, cross-add the
+        other's sampleCount to this state's apostprob (and vice versa)."""
+        if other.gene_begin() > self.gene_end() or \
+                self.gene_begin() > other.gene_end():
+            return
+        for sl1, sl2 in zip(self.ex_in_heads(), other.ex_in_heads()):
+            i1 = i2 = 0
+            while i1 < len(sl1) and i2 < len(sl2):
+                st, ot = sl1[i1], sl2[i2]
+                if st.begin == ot.begin and st.end == ot.end and \
+                        st.type == ot.type:
+                    st.apostprob += ot.sample_count
+                    ot.apostprob += st.sample_count
+                    i1 += 1
+                    i2 += 1
+                elif st.begin < ot.begin:
+                    i1 += 1
+                else:
+                    i2 += 1
+
+    def mean_state_prob(self) -> float:
+        """reference Transcript::meanStateProb (gene.cc:1241): geometric
+        mean of all state posteriors."""
+        if not self.has_probs:
+            return 0.0
+        prod = 1.0
+        num = 0
+        for st in self._all_states():
+            prod *= st.apostprob
+            num += 1
+        return prod ** (1.0 / num) if num else 1.0
+
+    def percent_supported(self) -> float:
+        """reference Gene::getPercentSupported; filled in by the evidence
+        compiler when hints are present, else 0."""
+        return getattr(self, "percent_supp", 0.0)
 
 
 def condense_path(segments: List[Tuple[int, int, ST]], dnalen: int
@@ -437,8 +527,11 @@ def has_in_frame_stop(g: Gene, codes: np.ndarray,
 
 def filter_transcripts(genes: List[Gene], codes: np.ndarray, cn: Constants,
                        gcode: genetics.GeneticCode, strand: str = "both",
-                       no_in_frame_stop: bool = False) -> List[Gene]:
-    """reference filterGenePrediction (gene.cc:2465), viterbi-only subset."""
+                       no_in_frame_stop: bool = False,
+                       keep_viterbi: bool = False,
+                       minexonintronprob: float = 0.0,
+                       minmeanexonintronprob: float = 0.0) -> List[Gene]:
+    """reference filterGenePrediction (gene.cc:2465)."""
     out = []
     for g in genes:
         if strand != "both" and g.strand != strand:
@@ -451,8 +544,61 @@ def filter_transcripts(genes: List[Gene], codes: np.ndarray, cn: Constants,
                 (g.clength < 4 and g.clength < cn.min_coding_len
                  and not g.complete_cds()):
             continue
+        if g.has_probs:
+            protected = keep_viterbi and g.viterbi
+            if g.mean_state_prob() < minmeanexonintronprob and not protected:
+                continue
+            low = any(st.apostprob < minexonintronprob
+                      for st in list(g.exons) + list(g.introns))
+            if low and not protected:
+                continue
         out.append(g)
     return out
+
+
+def max_tracks_order(genes: List[Gene], keep_viterbi: bool = False
+                     ) -> List[Gene]:
+    """reference Transcript::filterTranscriptsByMaxTracks (gene.cc:2533)
+    with unlimited tracks: only the selection-sort reordering survives —
+    repeatedly pick the transcript with the largest meanStateProb; with
+    keep_viterbi, the last remaining viterbi transcript wins each round."""
+    rest = list(genes)
+    out: List[Gene] = []
+    while rest:
+        best_i = 0
+        best_p = -1.0
+        for i, g in enumerate(rest):
+            p = g.mean_state_prob()
+            if p > best_p:
+                best_p = p
+                best_i = i
+            if g.viterbi and keep_viterbi:
+                best_i = i
+                best_p = 1.0
+        out.append(rest.pop(best_i))
+    return out
+
+
+def sort_transcripts(ag: "AltGene") -> None:
+    """reference AltGene::sortTranscripts (gene.cc:2749): selection sort by
+    (percentSupported desc, meanStateProb desc)."""
+    if len(ag.transcripts) < 2:
+        return
+    rest = list(ag.transcripts)
+    out: List[Gene] = []
+    while rest:
+        best_i = 0
+        max_supp = 0.0
+        max_msp = -1.0
+        for i, g in enumerate(rest):
+            supp = g.percent_supported()
+            msp = g.mean_state_prob()
+            if supp > max_supp or (supp == max_supp and msp > max_msp):
+                max_supp = supp
+                max_msp = msp
+                best_i = i
+        out.append(rest.pop(best_i))
+    ag.transcripts = out
 
 
 @dataclass
@@ -508,8 +654,8 @@ def _frame_compatible(e1: PathState, e2: PathState) -> bool:
     if f1 != f2:
         return False
     if f1:
-        return mod3(e1.end - e1.frame()) == mod3(e2.end - e2.frame())
-    return mod3(e1.begin + e1.frame()) == mod3(e2.begin + e2.frame())
+        return mod3(e2.end - e1.end - e2.frame() + e1.frame()) == 0
+    return mod3(e2.end - e1.end + e2.frame() - e1.frame()) == 0
 
 
 def group_transcripts(genes: List[Gene]) -> List[AltGene]:

@@ -84,6 +84,7 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     path; identical except float near-ties / conv-capped exon lengths).
     """
     cn = model.cn
+    props = model.props
     codes = genetics.encode(rec.sequence.lower())
     gold = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
                       model.decomp, model.gcode, utr=model.utr,
@@ -91,7 +92,20 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     softmask = genetics.softmask_runs(rec.sequence)
     gff_hints = model.gff_hints.get(rec.name, []) \
         if getattr(model, "gff_hints", None) is not None else None
-    if engine == "scan":
+
+    # sampling configuration (reference namgene.cc:54-92,768)
+    sample_iters = props.get_int("sample", 0)
+    if 0 < sample_iters < 10:
+        sample_iters = 0       # reference refuses too-low sample counts
+    if sample_iters < 1:
+        sample_iters = 1
+    need_forward = sample_iters > 1
+    alt_sampling = props.get_bool("alternatives-from-sampling", False)
+    keep_viterbi = props.get_bool("keep_viterbi", False)
+    minep = props.get_float("minexonintronprob", 0.0)
+    minmep = props.get_float("minmeanexonintronprob", 0.0)
+
+    if engine == "scan" and not need_forward:
         from .engine.device import build_tracks
         from .engine.scan import ScanEngine
         gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
@@ -99,16 +113,79 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
         se.run()
         segments = se.traceback()
     else:
-        gold.run(codes, softmask=softmask, gff_hints=gff_hints)
+        gold.run(codes, softmask=softmask, gff_hints=gff_hints,
+                 need_forward=need_forward)
         segments = gold.traceback()
 
     path = og.condense_path(segments, codes.shape[0])
     genes = og.project_onto_genes(path, cn)
-    genes = og.filter_transcripts(genes, codes, cn, model.gcode,
-                                  no_in_frame_stop=model.props.get_bool(
-                                      "noInFrameStop", False))
+    # reference NAMGene::findGenes (namgene.cc:812-906): viterbi transcripts
+    # enter with weight 1, sampled paths accumulate posterior counts
+    alltranscripts = list(genes)
+    for g in alltranscripts:
+        g.apostprob = 1.0
+        g.set_state_postprobs(1.0)
+        g.set_sample_count(1)
+        g.has_probs = True
+        g.throwaway = False
+        g.viterbi = True
+    if need_forward:
+        rng = np.random.default_rng(props.get_int("seed", 1))
+        for _ in range(sample_iters - 1):
+            segs = gold.sample_path(rng)
+            spath = og.condense_path(segs, codes.shape[0])
+            for g in og.project_onto_genes(spath, cn):
+                g.apostprob = 1.0
+                g.set_state_postprobs(1.0)
+                g.set_sample_count(1)
+                g.has_probs = True
+                g.viterbi = False
+                g.throwaway = not alt_sampling
+                alltranscripts.append(g)
+        alltranscripts.sort(key=lambda g: g.gene_begin())  # stable
+        # merge identical transcripts (namgene.cc:877-892)
+        i = 0
+        while i < len(alltranscripts):
+            a = alltranscripts[i]
+            j = i + 1
+            while j < len(alltranscripts) and \
+                    alltranscripts[j].gene_begin() == a.gene_begin():
+                b = alltranscripts[j]
+                if a.states_equal(b):
+                    a.throwaway = a.throwaway and b.throwaway
+                    a.viterbi = a.viterbi or b.viterbi
+                    a.add_sample_count(1)
+                    a.apostprob += 1.0
+                    a.add_state_postprobs(1.0)
+                    del alltranscripts[j]
+                else:
+                    j += 1
+            i += 1
+        # cross-transcript state posteriors (namgene.cc:897-905)
+        for i, a in enumerate(alltranscripts):
+            for b in alltranscripts[i + 1:]:
+                if b.gene_begin() > a.gene_end():
+                    break
+                a.update_post_prob(b)
+        for a in alltranscripts:
+            a.norm_post_prob(sample_iters)
+
+    genes = og.filter_transcripts(
+        alltranscripts, codes, cn, model.gcode,
+        no_in_frame_stop=props.get_bool("noInFrameStop", False),
+        keep_viterbi=keep_viterbi, minexonintronprob=minep,
+        minmeanexonintronprob=minmep)
+    genes = og.max_tracks_order(genes, keep_viterbi=keep_viterbi)
     agl = og.group_transcripts(genes)
-    agl.sort(key=lambda ag: (ag.min_trans_begin(), ag.max_trans_end()))
+    agl.sort(key=lambda ag: ag.mincodstart)  # AltGene::operator< (stable)
+    if not need_forward:
+        # reference findGenes else-branch (namgene.cc:945-952)
+        for ag in agl:
+            for tx in ag.transcripts:
+                tx.has_probs = False
+                tx.set_state_has_score(False)
+    for ag in agl:
+        og.sort_transcripts(ag)
     gid = geneid_start
     for ag in agl:
         ag.id = f"g{gid}"
