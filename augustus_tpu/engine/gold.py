@@ -172,11 +172,14 @@ class GoldEngine:
         self.has_hints = False
         self.hints = None
         feats = []
-        if (softmask is not None and cn.softmasking and softmask.any()
+        if (softmask is not None and cn.softmasking
                 and self.ext_cfg is not None):
             from ..hints.features import softmask_hints
             for grp in softmask_hints(softmask[:n], self.ext_cfg):
                 feats.extend(grp.hints)
+            # reference sets hasHintsFile whenever softmasking is on, even
+            # with zero lowercase runs (extrinsicinfo.cc:1723) -> maluses
+            # apply and evidence blocks are printed
             self.has_hints = True
         if gff_hints is not None:
             # a hints file was given: maluses apply even with no hints on
@@ -494,6 +497,16 @@ class GoldEngine:
         self.dss_site_adj_m = site_adj("dss", "-")
         self.ass_site_adj_p = site_adj("ass", "+")
         self.ass_site_adj_m = site_adj("ass", "-")
+
+    def set_boundaries(self, init_synch: bool, term_synch: bool) -> None:
+        """Piecewise decoding boundary handling (reference namgene.cc:594):
+        at an interior cut point the piece must start/end in the synch
+        (igenic) state with probability 1."""
+        synch = np.full(self.S, NEG_INF)
+        synch[self.sg.type_to_index[ST.igenic]] = 0.0
+        with np.errstate(divide="ignore"):
+            self.log_init = synch if init_synch else np.log(self.sg.init_probs)
+            self.log_term = synch if term_synch else np.log(self.sg.term_probs)
 
     # ------------------------------------------------------------------
     # main DP

@@ -458,9 +458,15 @@ def make_scan_fn(st: ScanStatic):
                             take, (WB - eoff) - ridx, boff)
                     return best, bpred, boff
 
-                v, pred, off = jax.lax.cond(
-                    gate, compute,
-                    lambda: (NEG, jnp.int32(0), jnp.int32(1)))
+                # compute unconditionally and mask: a lax.cond per conv
+                # state adds a separate control-flow region per scan step,
+                # which dominates per-step latency on TPU; the vector work
+                # itself is tiny, and all buffers are padded with finite
+                # sentinels so the masked-off path stays NaN-free
+                vc, predc, offc = compute()
+                v = jnp.where(gate, vc, NEG)
+                pred = jnp.where(gate, predc, jnp.int32(0))
+                off = jnp.where(gate, offc, jnp.int32(1))
                 vals, bps = put(vals, bps, s, v, pred, off)
 
             idx = jnp.asarray(np.array(put_idx, dtype=np.int32))

@@ -44,6 +44,49 @@ class HintGroup:
     def source(self) -> str:
         return self.hints[0].source if self.hints else ""
 
+    @property
+    def gene_begin(self) -> int:
+        """Begin over genic hints only (reference hints.cc:594: irpart and
+        nonexonpart hints don't count); -1 if none."""
+        starts = [h.start for h in self.hints
+                  if h.type not in ("irpart", "nonexonpart")]
+        return min(starts) if starts else -1
+
+    @property
+    def gene_end(self) -> int:
+        ends = [h.end for h in self.hints
+                if h.type not in ("irpart", "nonexonpart")]
+        return max(ends) if ends else -1
+
+
+def group_gaps(groups: List[HintGroup], seqlen: int) -> List[tuple]:
+    """Gaps between hint groups (reference
+    SequenceFeatureCollection::findGroupGaps, extrinsicinfo.cc:1026):
+    start with the full interval [1, seqlen] and chop out each group's
+    genic interval, walking a single gap cursor in group-begin order."""
+    gaps = [[1, seqlen]]
+    cursor = 0
+    for grp in sorted(groups, key=lambda g: g.begin):
+        gb, ge = grp.gene_begin, grp.gene_end
+        if gb < 0 or gb > seqlen:
+            continue
+        if cursor >= len(gaps):
+            break
+        cur = gaps[cursor]
+        if gb > cur[0] and ge < cur[1]:
+            gaps.insert(cursor, [cur[0], gb - 1])
+            cursor += 1
+            cur[0] = ge + 1
+        elif cur[0] >= gb and ge >= cur[0] and ge < cur[1]:
+            cur[0] = ge + 1
+        elif gb <= cur[0] and ge >= cur[1]:
+            del gaps[cursor]
+            break
+        elif gb > cur[0] and gb <= cur[1] and ge >= cur[1]:
+            cur[1] = gb - 1
+            break
+    return [(a, b) for a, b in gaps]
+
 
 def softmask_hints(softmask: np.ndarray, ext_cfg) -> List[HintGroup]:
     """Lowercase runs -> nonexonpart 'RM' hints, one group each

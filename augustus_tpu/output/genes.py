@@ -304,6 +304,19 @@ class Gene:
         compiler when hints are present, else 0."""
         return getattr(self, "percent_supp", 0.0)
 
+    def shift_coordinates(self, d: int) -> None:
+        """reference Gene::shiftCoordinates (gene.cc)."""
+        for sl in self.ex_in_heads():
+            for st in sl:
+                st.begin += d
+                st.end += d
+        if self.transstart >= 0:
+            self.transstart += d
+        if self.transend >= 0:
+            self.transend += d
+        self.codingstart += d
+        self.codingend += d
+
 
 def condense_path(segments: List[Tuple[int, int, ST]], dnalen: int
                   ) -> List[PathState]:
@@ -644,6 +657,12 @@ class AltGene:
 
     def max_trans_end(self) -> int:
         return max(tx.gene_end() for tx in self.transcripts)
+
+    def shift_coordinates(self, d: int) -> None:
+        for tx in self.transcripts:
+            tx.shift_coordinates(d)
+        self.mincodstart += d
+        self.maxcodend += d
 
 
 def _frame_compatible(e1: PathState, e2: PathState) -> bool:

@@ -76,22 +76,18 @@ class Model:
                    gff_hints=gff_hints)
 
 
-def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
-                     geneid_start: int = 1, engine: str = "gold") -> tuple:
-    """Predict genes on one sequence; returns (gff_text, n_genes).
-
-    engine: "gold" (host float64, exact) or "scan" (device float32 fast
-    path; identical except float near-ties / conv-capped exon lengths).
-    """
+def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
+                engine: str, init_synch: bool = False,
+                term_synch: bool = False) -> tuple:
+    """Run the DP + sampling + filtering on one sequence piece; returns
+    (agl, gold) with piece-local coordinates (reference NAMGene::findGenes,
+    namgene.cc:763)."""
     cn = model.cn
     props = model.props
-    codes = genetics.encode(rec.sequence.lower())
     gold = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
                       model.decomp, model.gcode, utr=model.utr,
                       utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
-    softmask = genetics.softmask_runs(rec.sequence)
-    gff_hints = model.gff_hints.get(rec.name, []) \
-        if getattr(model, "gff_hints", None) is not None else None
+    gold.set_boundaries(init_synch, term_synch)
 
     # sampling configuration (reference namgene.cc:54-92,768)
     sample_iters = props.get_int("sample", 0)
@@ -186,19 +182,8 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
                 tx.set_state_has_score(False)
     for ag in agl:
         og.sort_transcripts(ag)
-    gid = geneid_start
-    for ag in agl:
-        ag.id = f"g{gid}"
-        ag.seqname = rec.name
-        gid += 1
-        tid = 1
-        for tx in ag.transcripts:
-            tx.seqname = rec.name
-            tx.id = f"t{tid}"
-            tx.geneid = ag.id
-            tid += 1
-
-    o = og.OutputOptions.from_properties(model.props)
+    # evidence must be compiled in piece-local coordinates (reference
+    # joinGenesFromPredRuns, extrinsicinfo.cc:1553)
     with_evidence = bool(getattr(gold, "has_hints", False)) or \
         getattr(model, "gff_hints", None) is not None
     if with_evidence:
@@ -207,6 +192,222 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
         for ag in agl:
             for tx in ag.transcripts:
                 ev.compile_evidence(tx, groups)
+    return agl, gold
+
+
+def _piece_hints(gff_hints, begin: int, end: int):
+    """Subset + shift hints for a sequence piece (reference
+    SequenceFeatureCollection piece constructor, extrinsicinfo.cc: keep
+    features whose END lies in [begin, end], shift by -begin)."""
+    if gff_hints is None:
+        return None
+    import copy
+    out = []
+    for f in gff_hints:
+        if begin <= f.end <= end:
+            g = copy.copy(f)
+            g.start -= begin
+            g.end -= begin
+            out.append(g)
+    return out
+
+
+def _try_find_cut(path, exam_start: int, exam_end: int, gaps, only_internal:
+                  bool):
+    """reference NAMGene::tryFindCutEndPoint (namgene.cc): center of the
+    largest intersection of a predicted intergenic region with a group gap."""
+    from .model.state_config import ST
+    if gaps is None:
+        gaps = [(0, 2**31 - 1)]
+    max_b, max_e = -1, -1
+    for i, st in enumerate(path):
+        if st.type != ST.igenic:
+            continue
+        irb = exam_start + st.begin
+        ire = exam_start + st.end
+        lgb, lge = -1, -1
+        for (gs, ge) in gaps:
+            if gs < irb and ge <= ire and ge >= irb and ge - irb > lge - lgb:
+                lgb, lge = irb, ge
+            elif gs < irb and ge > ire and ire - irb > lge - lgb:
+                lgb, lge = irb, ire
+            elif gs > irb and ge < ire and ge - gs > lge - lgb:
+                lgb, lge = gs, ge
+            elif gs >= irb and gs <= ire and ge >= ire and ire - gs > lge - lgb:
+                lgb, lge = gs, ire
+        internal = 0 < i < len(path) - 1
+        if lge - lgb > max_e - max_b and (
+                internal or not only_internal or
+                lge - lgb > (exam_end - exam_start) // 2):
+            max_b, max_e = lgb, lge
+    if max_e - max_b > 0:
+        return (max_e + max_b) // 2
+    return -1
+
+
+def _mini_viterbi_path(model, codes, softmask, gff_hints, engine,
+                       init_synch, term_synch):
+    """Decode a small exam window and return the condensed path."""
+    gold = GoldEngine(model.sg, model.cn, model.igp, model.exp, model.inp,
+                      model.decomp, model.gcode, utr=model.utr,
+                      utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
+    gold.set_boundaries(init_synch, term_synch)
+    if engine == "scan":
+        from .engine.device import build_tracks
+        from .engine.scan import ScanEngine
+        gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
+        se = ScanEngine(build_tracks(gold))
+        se.run()
+        segments = se.traceback()
+    else:
+        gold.run(codes, softmask=softmask, gff_hints=gff_hints)
+        segments = gold.traceback()
+    return og.condense_path(segments, codes.shape[0])
+
+
+def _next_cut_end_point(model, codes, softmask, gff_hints, begin: int,
+                        maxstep: int, engine: str, mini_init_synch: bool,
+                        mini_term_synch: bool) -> int:
+    """reference NAMGene::getNextCutEndPoint (namgene.cc:973)."""
+    n = codes.shape[0]
+    restlen = n - begin
+    if restlen <= maxstep:
+        return begin + restlen - 1
+    exam = 50000
+    if exam < 0.2 * maxstep:
+        exam = int(0.2 * maxstep)
+    if exam > 150000:
+        exam = 150000
+
+    # group gaps between hint groups (reference findGroupGaps)
+    gaps = None
+    if gff_hints:
+        from .hints.system import SeqHints
+        from .hints.features import group_gaps
+        sh = SeqHints(list(gff_hints), model.ext_cfg, codes)
+        if sh.groups:
+            gaps = group_gaps(sh.groups, n)
+    if gaps is None:
+        gaps = [(1, n - 1)]
+    gaps_in_range = [(gs, ge) for (gs, ge) in gaps
+                     if ge > begin and gs <= begin + maxstep]
+
+    def exam_interval(chunk, gaps_r, skip_last):
+        if gaps_r:
+            idx = len(gaps_r) - 1
+            if skip_last and idx > 0:
+                idx -= 1
+            gs, ge = gaps_r[idx]
+            if ge - gs < chunk:
+                center = (ge + gs) // 2
+            else:
+                center = ge - chunk // 2
+        else:
+            center = begin + maxstep - 1
+        if chunk > maxstep:
+            return begin, begin + maxstep - 1
+        s = center - chunk // 2
+        e = center + chunk // 2
+        if e >= begin + maxstep:
+            s -= e - (begin + maxstep - 1)
+            e = begin + maxstep - 1
+        if s < begin:
+            e += begin - s
+            s = begin
+        return s, e
+
+    def run_exam(s, e):
+        sub_codes = codes[s: e + 1]
+        sub_mask = softmask[s: e + 1] if softmask is not None else None
+        sub_hints = _piece_hints(gff_hints, s, e)
+        return _mini_viterbi_path(model, sub_codes, sub_mask, sub_hints,
+                                  engine, mini_init_synch, mini_term_synch)
+
+    s, e = exam_interval(exam, gaps_in_range, skip_last=False)
+    path = run_exam(s, e)
+    cut = _try_find_cut(path, s, e, gaps_in_range, True)
+    if cut == -1:
+        # 2nd try: double the window, last-but-one gap, relaxed criteria
+        exam = min(exam * 2, maxstep)
+        skip_last = bool(gaps_in_range) and gaps_in_range[-1][0] >= s
+        s, e = exam_interval(exam, gaps_in_range, skip_last=skip_last)
+        path = run_exam(s, e)
+        cut = _try_find_cut(path, s, e, gaps_in_range, True)
+        if cut == -1:
+            cut = _try_find_cut(path, s, e, gaps_in_range, False)
+        if cut == -1:
+            cut = _try_find_cut(path, s, e, None, False)
+        if cut == -1:
+            cut = begin + maxstep - 1
+    if cut <= begin + 0.05 * maxstep or cut <= begin + 5000:
+        cut = begin + maxstep - 1   # move by at least 5% and 5000bp
+    return cut
+
+
+def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
+                     geneid_start: int = 1, engine: str = "gold") -> tuple:
+    """Predict genes on one sequence; returns (gff_text, n_genes).
+
+    engine: "gold" (host float64, exact) or "scan" (device float32 fast
+    path; identical except float near-ties / conv-capped exon lengths).
+
+    Long sequences are decoded piecewise (reference
+    NAMGene::doViterbiPiecewise, namgene.cc:524): cut points are searched
+    in predicted intergenic regions, and interior piece boundaries are
+    forced through the synchronisation (igenic) state.
+    """
+    props = model.props
+    codes = genetics.encode(rec.sequence.lower())
+    softmask = genetics.softmask_runs(rec.sequence)
+    gff_hints = model.gff_hints.get(rec.name, []) \
+        if getattr(model, "gff_hints", None) is not None else None
+    n = codes.shape[0]
+    maxstep = props.get_int("maxDNAPieceSize", 2000000)
+    if maxstep < 1000:
+        maxstep = 1000
+
+    bodies: List[str] = []
+    gid = geneid_start
+    total = 0
+    begin = 0
+    o = og.OutputOptions.from_properties(props)
+    # the cut-point mini-viterbi inherits the boundary distributions set
+    # for the PREVIOUS piece (reference quirk: getNextCutEndPoint runs
+    # before the loop re-assigns initProbs/termProbs, namgene.cc:576-604)
+    prev_init_synch = prev_term_synch = False
+    any_evidence = False
+    while begin < n:
+        end = _next_cut_end_point(model, codes, softmask, gff_hints, begin,
+                                  maxstep, engine, prev_init_synch,
+                                  prev_term_synch)
+        init_synch = begin > 0
+        term_synch = end < n - 1
+        sub_codes = codes[begin: end + 1]
+        sub_mask = softmask[begin: end + 1] if softmask is not None else None
+        sub_hints = _piece_hints(gff_hints, begin, end)
+        agl, gold = _find_genes(model, sub_codes, sub_mask, sub_hints,
+                                engine, init_synch, term_synch)
+        prev_init_synch, prev_term_synch = init_synch, term_synch
+        with_evidence = bool(getattr(gold, "has_hints", False)) or \
+            gff_hints is not None
+        any_evidence = any_evidence or with_evidence
+        for ag in agl:
+            ag.shift_coordinates(begin)
+            ag.id = f"g{gid}"
+            ag.seqname = rec.name
+            gid += 1
+            tid = 1
+            for tx in ag.transcripts:
+                tx.seqname = rec.name
+                tx.id = f"t{tid}"
+                tx.geneid = ag.id
+                tid += 1
+        total += len(agl)
+        if agl:
+            bodies.append(og.print_gene_list(agl, codes, o, model.gcode,
+                                             with_evidence=with_evidence))
+        begin = end + 1
+
     header = [
         f"#",
         f"# ----- prediction on sequence number {seq_number} "
@@ -214,11 +415,10 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
         f"#",
         f"# Predicted genes for sequence number {seq_number} on both strands",
     ]
-    body = og.print_gene_list(agl, codes, o, model.gcode,
-                              with_evidence=with_evidence)
-    if not agl:
+    body = "".join(bodies)
+    if total == 0:
         body = "# (none)\n"
-    return "\n".join(header) + "\n" + body, len(agl)
+    return "\n".join(header) + "\n" + body, total
 
 
 def predict_file(model: Model, path: str, engine: str = "gold") -> str:

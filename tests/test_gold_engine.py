@@ -110,3 +110,27 @@ def test_hints_mpe_exact():
     want = normalize(open(os.path.join(
         DATA, "golden_human_mpe_hints.gff")).read())
     assert got == want
+
+
+@pytest.mark.slow
+def test_default_softmasking_on_exact():
+    """Default run (softmasking on, no lowercase): the reference still
+    activates the hints system (extrinsicinfo.cc:1723) and prints evidence
+    blocks; byte-exact against the reference binary with no flags."""
+    got = normalize(run_prediction("/root/reference/examples/example.fa",
+                                   softmasking="1"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_default_example.gff")).read())
+    assert got == want
+
+
+@pytest.mark.slow
+def test_piecewise_exact():
+    """Piecewise decoding (doViterbiPiecewise + getNextCutEndPoint):
+    byte-exact against the reference with --maxDNAPieceSize=3000."""
+    got = normalize(run_prediction("/root/reference/examples/example.fa",
+                                   softmasking="1",
+                                   maxDNAPieceSize="3000"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_piece3000_example.gff")).read())
+    assert got == want
