@@ -36,10 +36,23 @@ GFF_TYPE_MAP = {
 
 def parse_gff_hints(path: str, ext_cfg: ExtrinsicConfig,
                     igenic_geo: float = 0.9999,
-                    intron_geo: Optional[float] = None
+                    intron_geo: Optional[float] = None,
+                    pred_start: Optional[int] = None,
+                    pred_end: Optional[int] = None
                     ) -> Dict[str, List[Feature]]:
     """GFF hints -> per-seqname feature lists (reference readGFFFile +
-    Feature operator>>, src/hints.cc:75)."""
+    Feature operator>>, src/hints.cc:75).
+
+    pred_start/pred_end (1-based CLI values): hints are clipped to the
+    prediction window and left-shifted (reference extrinsicinfo.cc:2239)."""
+    ps = (pred_start - 1) if pred_start is not None else 0
+    pe = (pred_end - 1) if pred_end is not None else 2**31 - 1
+    if ps == pe and ps < 0:
+        offset = ps + 1   # negative predictionStart: shift only
+    else:
+        if ps < 0:
+            ps = 0
+        offset = -ps
     out: Dict[str, List[Feature]] = {}
     with open(path) as fh:
         for raw in fh:
@@ -87,6 +100,10 @@ def parse_gff_hints(path: str, ext_cfg: ExtrinsicConfig,
                     else:
                         break
                 f.source = key
+            if not ((f.end >= ps and f.start <= pe) or ps < 0):
+                continue
+            f.start += offset
+            f.end += offset
             set_bonus_malus(f, ext_cfg, igenic_geo, intron_geo)
             if f.bonus != 1.0:
                 out.setdefault(seqname, []).append(f)

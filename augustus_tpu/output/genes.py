@@ -494,9 +494,11 @@ def project_onto_genes(path: List[PathState], cn: Constants) -> List[Gene]:
     return genes
 
 
-def coding_sequence(g: Gene, codes: np.ndarray) -> np.ndarray:
-    """Spliced CDS codes in reading direction (reference getExonicSequence)."""
-    parts = [codes[e.begin: e.end + 1] for e in g.exons]
+def coding_sequence(g: Gene, codes: np.ndarray, offset: int = 0) -> np.ndarray:
+    """Spliced CDS codes in reading direction (reference getExonicSequence,
+    gene.cc:1400: positions are global, sequence is indexed at
+    begin - offset)."""
+    parts = [codes[e.begin - offset: e.end + 1 - offset] for e in g.exons]
     seq = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
     if g.strand == "-":
         seq = genetics.reverse_complement(seq)
@@ -876,8 +878,9 @@ def print_gene_gff(g: Gene, o: OutputOptions, out: List[str]) -> None:
 
 
 def print_sequences(g: Gene, codes: np.ndarray, o: OutputOptions,
-                    gcode: genetics.GeneticCode, out: List[str]) -> None:
-    cds = coding_sequence(g, codes)
+                    gcode: genetics.GeneticCode, out: List[str],
+                    seq_offset: int = 0) -> None:
+    cds = coding_sequence(g, codes, seq_offset)
     if o.codingseq:
         text = genetics.decode(cds)
         line = "# coding sequence = ["
@@ -906,7 +909,8 @@ def print_sequences(g: Gene, codes: np.ndarray, o: OutputOptions,
 
 def print_gene_list(agl: List[AltGene], codes: np.ndarray, o: OutputOptions,
                     gcode: genetics.GeneticCode,
-                    with_evidence: bool = False) -> str:
+                    with_evidence: bool = False,
+                    seq_offset: int = 0) -> str:
     out: List[str] = []
     for ag in agl:
         out.append(f"# start gene {ag.id}")
@@ -922,7 +926,7 @@ def print_gene_list(agl: List[AltGene], codes: np.ndarray, o: OutputOptions,
                        f"{tx.gene_begin() + 1}\t{tx.gene_end() + 1}\t{score}"
                        f"\t{tx.strand}\t.\t{idattr}")
             print_gene_gff(tx, o, out)
-            print_sequences(tx, codes, o, gcode, out)
+            print_sequences(tx, codes, o, gcode, out, seq_offset)
             if with_evidence:
                 from . import evidence as ev
                 ev.print_evidence(tx, out)

@@ -69,11 +69,27 @@ class Model:
             from .hints import system as hints_system
             intron_geo = 1.0 - 1.0 / inp.gc[0].mal if inp.gc else None
             gff_hints = hints_system.parse_gff_hints(
-                props.get("hintsfile"), ext_cfg, intron_geo=intron_geo)
+                props.get("hintsfile"), ext_cfg, intron_geo=intron_geo,
+                pred_start=(props.get_int("predictionStart")
+                            if "predictionStart" in props else None),
+                pred_end=(props.get_int("predictionEnd")
+                          if "predictionEnd" in props else None))
         return cls(props=props, cn=cn, sg=sg, igp=igp, exp=exp, inp=inp,
                    decomp=decomp, gcode=genetics.GeneticCode(table),
                    utr=utr, utr_cfg=utr_cfg, ext_cfg=ext_cfg,
                    gff_hints=gff_hints)
+
+
+def _strand_option(props) -> str:
+    """reference augustus.cc:178-190 strand string parsing."""
+    s = props.get("strand", "") or ""
+    if s in ("forward", "Forward", "plus", "Plus", "+", "Watson",
+             "watson", "w"):
+        return "+"
+    if s in ("backward", "Backward", "minus", "Minus", "-", "Crick",
+             "crick", "c", "reverse", "Reverse"):
+        return "-"
+    return "both"
 
 
 def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
@@ -166,8 +182,11 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
         for a in alltranscripts:
             a.norm_post_prob(sample_iters)
 
+    # --strand=forward/backward filters transcripts post-DP
+    # (reference augustus.cc:178-190 -> filterGenePrediction strand arg)
+    strand = _strand_option(props)
     genes = og.filter_transcripts(
-        alltranscripts, codes, cn, model.gcode,
+        alltranscripts, codes, cn, model.gcode, strand=strand,
         no_in_frame_stop=props.get_bool("noInFrameStop", False),
         keep_viterbi=keep_viterbi, minexonintronprob=minep,
         minmeanexonintronprob=minmep)
@@ -361,6 +380,28 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     softmask = genetics.softmask_runs(rec.sequence)
     gff_hints = model.gff_hints.get(rec.name, []) \
         if getattr(model, "gff_hints", None) is not None else None
+
+    # --predictionStart/--predictionEnd: cut the relevant piece and shift
+    # output coordinates (reference augustus.cc cutRelevantPiece)
+    seqlen = codes.shape[0]
+    pstart = props.get_int("predictionStart", 1) - 1 \
+        if "predictionStart" in props else 0
+    pend = props.get_int("predictionEnd", seqlen) - 1 \
+        if "predictionEnd" in props else seqlen - 1
+    offset = 0
+    if (pstart != 0 or pend != seqlen - 1) and not (pend < 0 and pstart < 0):
+        pstart = max(pstart, 0)
+        pend = min(pend, seqlen - 1)
+        if pstart >= seqlen:
+            raise ValueError("predictionStart is larger than sequence length")
+        if pend < pstart:
+            raise ValueError("predictionEnd is smaller than predictionStart")
+        codes = codes[pstart: pend + 1]
+        softmask = softmask[pstart: pend + 1]
+        offset = pstart
+    elif pstart < 0 and pend == pstart:
+        offset = -pstart - 1
+
     n = codes.shape[0]
     maxstep = props.get_int("maxDNAPieceSize", 2000000)
     if maxstep < 1000:
@@ -392,7 +433,7 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
             gff_hints is not None
         any_evidence = any_evidence or with_evidence
         for ag in agl:
-            ag.shift_coordinates(begin)
+            ag.shift_coordinates(begin + offset)
             ag.id = f"g{gid}"
             ag.seqname = rec.name
             gid += 1
@@ -404,16 +445,19 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
                 tid += 1
         total += len(agl)
         if agl:
-            bodies.append(og.print_gene_list(agl, codes, o, model.gcode,
-                                             with_evidence=with_evidence))
+            bodies.append(og.print_gene_list(
+                agl, codes, o, model.gcode, with_evidence=with_evidence,
+                seq_offset=offset))
         begin = end + 1
 
     header = [
         f"#",
         f"# ----- prediction on sequence number {seq_number} "
-        f"(length = {len(rec.sequence)}, name = {rec.name}) -----",
+        f"(length = {n}, name = {rec.name}) -----",
         f"#",
-        f"# Predicted genes for sequence number {seq_number} on both strands",
+        f"# Predicted genes for sequence number {seq_number} on "
+        + {"+": "forward strand", "-": "reverse strand",
+           "both": "both strands"}[_strand_option(props)],
     ]
     body = "".join(bodies)
     if total == 0:
@@ -423,6 +467,17 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
 
 def predict_file(model: Model, path: str, engine: str = "gold") -> str:
     recs = read_fasta(path)
+    props = model.props
+    if recs and ("predictionStart" in props or "predictionEnd" in props):
+        # reference cutRelevantPiece: with an actual cut, only the first
+        # sequence is predicted (augustus.cc:581)
+        seqlen = len(recs[0].sequence)
+        ps = props.get_int("predictionStart", 1) - 1 \
+            if "predictionStart" in props else 0
+        pe = props.get_int("predictionEnd", seqlen) - 1 \
+            if "predictionEnd" in props else seqlen - 1
+        if (ps != 0 or pe != seqlen - 1) and not (pe < 0 and ps < 0):
+            recs = recs[:1]
     chunks = []
     gid = 1
     for i, rec in enumerate(recs):

@@ -134,3 +134,24 @@ def test_piecewise_exact():
     want = normalize(open(os.path.join(
         DATA, "golden_human_piece3000_example.gff")).read())
     assert got == want
+
+
+@pytest.mark.slow
+def test_prediction_range_exact():
+    """--predictionStart/--predictionEnd cut + global coordinates
+    (reference cutRelevantPiece, augustus.cc:552)."""
+    got = normalize(run_prediction("/root/reference/examples/example.fa",
+                                   predictionStart="3000",
+                                   predictionEnd="8000"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_predrange.gff")).read())
+    assert got == want
+
+
+@pytest.mark.slow
+def test_strand_backward_exact():
+    got = normalize(run_prediction(os.path.join(DATA, "HS04636rc.fa"),
+                                   strand="backward"))
+    want = normalize(open(os.path.join(
+        DATA, "golden_human_strand_backward.gff")).read())
+    assert got == want
