@@ -65,7 +65,15 @@ class Properties:
     def get_int(self, key: str, default: Optional[int] = None) -> int:
         if key not in self.store and default is not None:
             return default
-        return int(self.get(key))
+        val = self.get(key)
+        try:
+            return int(val)
+        except ValueError:
+            # reference uses atoi(): leading integer part, 0 on garbage
+            # (e.g. /ExonModel/minPatSum "233.3" -> 233)
+            import re
+            m = re.match(r"\s*[-+]?\d+", val)
+            return int(m.group(0)) if m else 0
 
     def get_float(self, key: str, default: Optional[float] = None) -> float:
         if key not in self.store and default is not None:

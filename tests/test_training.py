@@ -1,0 +1,78 @@
+"""etraining parity: byte-exact .pbl parameter files vs the reference
+(test_training_new_species analogue, reference
+tests/short/examples/test_examples.py:379).
+
+Goldens in tests/data/train_golden/ were produced by the reference binaries:
+  new_species.pl --species=test_aug_dev_species
+  etraining examples/chr2L/genes.gb.train --species=test_aug_dev_species
+"""
+
+import gzip
+import os
+import shutil
+
+import pytest
+
+from conftest import has_reference, REFERENCE_CONFIG
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "train_golden")
+TRAIN_GB = "/root/reference/examples/chr2L/genes.gb.train"
+
+
+@pytest.fixture(scope="module")
+def trained_species(tmp_path_factory):
+    if not has_reference() or not os.path.exists(TRAIN_GB):
+        pytest.skip("reference data not available")
+    from augustus_tpu.training.new_species import create_species
+    from augustus_tpu.training.etraining import run_training
+
+    cfg = tmp_path_factory.mktemp("cfg")
+    # minimal config tree: generic template + model configs
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "species", "generic"),
+                    cfg / "species" / "generic")
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "model"), cfg / "model")
+    create_species("test_aug_dev_species", str(cfg), silent=True)
+    run_training({"species": "test_aug_dev_species",
+                  "AUGUSTUS_CONFIG_PATH": str(cfg),
+                  "queryfile": TRAIN_GB})
+    return cfg / "species" / "test_aug_dev_species"
+
+
+@pytest.mark.parametrize("model", ["exon", "intron", "igenic"])
+def test_pbl_byte_exact(trained_species, model):
+    got = (trained_species
+           / ("test_aug_dev_species_%s_probs.pbl" % model)).read_text()
+    with gzip.open(os.path.join(DATA, "%s_probs.pbl.gz" % model), "rt") as fh:
+        want = fh.read()
+    assert got == want
+
+
+def test_genbank_reader_counts():
+    if not os.path.exists(TRAIN_GB):
+        pytest.skip("reference data not available")
+    from augustus_tpu.io.genbank import read_genbank, detect_format
+    assert detect_format(TRAIN_GB) == "genbank"
+    seqs = read_genbank(TRAIN_GB)
+    assert len(seqs) == 392
+    # every record must have one gene with coding exons
+    ngenes = sum(len(s.genes) for s in seqs)
+    assert ngenes >= 392
+    s0 = seqs[0]
+    g0 = s0.genes[0]
+    assert g0.exons[0] == (5000, 5137)   # join(5001..5138,...) 0-based
+    assert g0.clength % 3 == 0
+
+
+def test_split_single_gene_seqs():
+    if not os.path.exists(TRAIN_GB):
+        pytest.skip("reference data not available")
+    from augustus_tpu.io.genbank import read_genbank
+    from augustus_tpu.training.annotation import split_to_single_gene_seqs
+    seqs = read_genbank(TRAIN_GB)
+    singles = split_to_single_gene_seqs(seqs)
+    assert len(singles) >= len(seqs)
+    for s in singles:
+        assert len(s.genes) == 1
+        g = s.genes[0]
+        assert g.strand == "+"
+        assert 0 <= g.codingstart <= g.codingend < s.length
