@@ -48,9 +48,19 @@ def main(argv=None) -> int:
         sys.stderr.write("error: no query file\n")
         return 1
 
+    from ..io.genbank import detect_format
+    fmt = detect_format(queryfile)
+    if fmt == "genbank" and "softmasking" not in args:
+        # reference: softmasking default is off for .gb files
+        # (augustus.cc:218-219)
+        args["softmasking"] = "0"
     model = Model.load(args)
     sys.stdout.write(HEADER.format(version=__version__))
-    sys.stdout.write(predict_file(model, queryfile))
+    if fmt == "genbank":
+        from ..predict import evaluate_genbank
+        sys.stdout.write(evaluate_genbank(model, queryfile))
+    else:
+        sys.stdout.write(predict_file(model, queryfile))
     cl = " ".join(["augustus"] + (argv if argv is not None else sys.argv[1:]))
     sys.stdout.write(f"# command line:\n# {cl}\n")
     return 0

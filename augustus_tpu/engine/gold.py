@@ -599,11 +599,18 @@ class GoldEngine:
     # ------------------------------------------------------------------
     def sample_path(self, rng) -> List[Tuple[int, int, ST]]:
         """Ancestral sampling from the forward table (reference
-        NAMGene::getSampledPath, src/namgene.cc:367)."""
+        NAMGene::getSampledPath, src/namgene.cc:367).
+
+        ``rng`` is a crand.GlibcRand replicating the reference's unseeded C
+        rand() stream; options are stable-sorted by descending probability
+        before drawing (OptionsList::prepareSampling/sample,
+        include/vitmatrix.hh:794, src/vitmatrix.cc:295), so posterior
+        probabilities reproduce the reference byte-exactly.
+        """
         assert self.f is not None, "run(need_forward=True) first"
         n, S = self.n, self.S
         last = self.f[n - 1] + self.log_term
-        state = self._sample_categorical(rng, last)
+        state = self._sample_options(rng, last)
         segs: List[Tuple[int, int, ST]] = []
         base = n - 1
         types = self.sg.state_types
@@ -614,20 +621,31 @@ class GoldEngine:
                 raise RuntimeError(
                     f"sampling stuck at base {base} state {state}")
             w, preds, eops = res
-            k = self._sample_categorical(rng, w)
+            k = self._sample_options(rng, w)
             segs.append((int(eops[k]) + 1, base, types[state]))
             base, state = int(eops[k]), int(preds[k])
         segs.reverse()
         return segs
 
     @staticmethod
-    def _sample_categorical(rng, logw: np.ndarray) -> int:
-        m = np.max(logw)
-        if m == NEG_INF:
-            raise RuntimeError("sampling from empty distribution")
-        p = np.exp(logw - m)
-        p = p / p.sum()
-        return int(rng.choice(p.shape[0], p=p))
+    def _sample_options(rng, logw: np.ndarray) -> int:
+        """Draw one option index (into logw, insertion order) the way
+        OptionsList::sample does: z = u * cumprob * 0.99999 with cumprob
+        summed in insertion order, then first sorted-descending option whose
+        running sum exceeds z; fallback to the largest option."""
+        sel = np.flatnonzero(logw > NEG_INF)
+        if sel.shape[0] == 0:
+            raise RuntimeError("sampling from empty option list")
+        w = logw[sel]
+        m = float(np.max(w))
+        q = np.exp(w - m)
+        cumprob = float(np.cumsum(q)[-1])        # insertion-order sum
+        z = rng.uniform() * cumprob * 0.99999
+        order = np.argsort(-q, kind="stable")    # stable: ties keep order
+        csum = np.cumsum(q[order])
+        hit = np.flatnonzero(z < csum)
+        pick = int(order[hit[0]]) if hit.shape[0] else int(order[0])
+        return int(sel[pick])
 
     def _chain_cands(self, j, c, s, table):
         """Candidates for per-base chain states; returns (w, preds, eops)."""

@@ -184,8 +184,9 @@ class Gene:
     utr3exons: List[PathState] = field(default_factory=list)
     strand: str = "+"
     complete: bool = True
-    complete5utr: bool = False
-    complete3utr: bool = False
+    # reference Gene constructor defaults both to true (gene.hh:359)
+    complete5utr: bool = True
+    complete3utr: bool = True
     frame: int = 0
     clength: int = 0
     transstart: int = -1
@@ -746,12 +747,13 @@ class OutputOptions:
         return o
 
 
-def print_gene_gff(g: Gene, o: OutputOptions, out: List[str]) -> None:
+def print_gene_gff(g: Gene, o: OutputOptions, out: List[str],
+                   source: str = "AUGUSTUS") -> None:
     """reference Gene::printGFF (gene.cc), incl. UTR line formats."""
     tid = f"{g.geneid}.{g.id}"
     parent = (f"Parent={tid}" if o.gff3 else
               f'transcript_id "{tid}"; gene_id "{g.geneid}";')
-    sn, src = g.seqname, "AUGUSTUS"
+    sn, src = g.seqname, source
     strand = g.strand
     exons = g.exons
     first_right_utr = g.utr3exons if strand == "+" else g.utr5exons

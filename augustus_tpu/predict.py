@@ -142,7 +142,12 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
         g.throwaway = False
         g.viterbi = True
     if need_forward:
-        rng = np.random.default_rng(props.get_int("seed", 1))
+        # one C-rand stream per process, shared across sequences/pieces
+        # (reference rand() is global and unseeded == srand(1))
+        if getattr(model, "_crand", None) is None:
+            from .crand import GlibcRand
+            model._crand = GlibcRand(1)
+        rng = model._crand
         for _ in range(sample_iters - 1):
             segs = gold.sample_path(rng)
             spath = og.condense_path(segs, codes.shape[0])
@@ -363,8 +368,103 @@ def _next_cut_end_point(model, codes, softmask, gff_hints, begin: int,
     return cut
 
 
+def anno_to_gene(tg, seqname: str):
+    """Convert a training/GenBank TGene annotation into an output Gene with
+    typed exon states (reference GBProcessor::getAnnoSequence type
+    assignment, src/genbank.cc:137-156)."""
+    from .model.state_config import (
+        ST, initial_exon_type, internal_exon_type, r_terminal_exon_type,
+        r_internal_exon_type)
+    g = og.Gene()
+    g.geneid = tg.geneid
+    g.id = tg.id
+    g.seqname = seqname
+    g.strand = tg.strand
+    g.codingstart = tg.codingstart
+    g.codingend = tg.codingend
+    g.transstart = tg.transstart
+    g.transend = tg.transend
+    g.complete5utr = tg.complete_l if tg.strand == "+" else tg.complete_r
+    g.complete3utr = tg.complete_r if tg.strand == "+" else tg.complete_l
+    plus = tg.strand == "+"
+    clength = 0
+    nex = len(tg.exons)
+    for i, (b, e) in enumerate(tg.exons):
+        clength += e - b + 1
+        if i == 0:
+            if nex == 1:
+                t = ST.singleG if plus else ST.rsingleG
+            else:
+                t = (initial_exon_type(clength) if plus
+                     else r_terminal_exon_type(2 - clength))
+        elif i == nex - 1:
+            t = ST.terminal if plus else ST.rinitial
+        else:
+            t = (internal_exon_type(clength) if plus
+                 else r_internal_exon_type(2 - clength))
+        g.exons.append(og.PathState(b, e, t))
+    for (b, e) in tg.introns:
+        g.introns.append(og.PathState(b, e, ST.intron_type))
+    for (b, e) in tg.utr5exons:
+        g.utr5exons.append(og.PathState(
+            b, e, ST.utr5internal if plus else ST.rutr5internal))
+    for (b, e) in tg.utr3exons:
+        g.utr3exons.append(og.PathState(
+            b, e, ST.utr3internal if plus else ST.rutr3internal))
+    return g
+
+
+def evaluate_genbank(model: Model, path: str, engine: str = "gold",
+                     argv_comment: Optional[str] = None) -> str:
+    """Predict on a GenBank-annotated test set and print accuracy tables
+    (reference evaluateOnTestSet, src/augustus.cc:254)."""
+    from .io.genbank import read_genbank
+    from .output.evaluation import Evaluation
+
+    props = model.props
+    utr_str = props.get("UTR", "off")
+    with_utr = utr_str in ("both", "1", "on", "5", "true")
+    annoseqs = read_genbank(path, with_utr=with_utr,
+                            stop_excluded=props.get_bool(
+                                "stopCodonExcludedFromCDS", False))
+    out: List[str] = ["# Read in %d genbank sequences." % len(annoseqs)]
+    ev = Evaluation()
+    anno_opts = og.OutputOptions.from_properties(props)
+    gid = 1
+    strand = _strand_option(props)
+    strand_text = {"+": "forward strand", "-": "reverse strand",
+                   "both": "both strands"}[strand]
+    for num, a in enumerate(annoseqs, start=1):
+        out.append("#")
+        out.append("# ----- sequence number %d (length = %d, name = %s)"
+                   " -----" % (num, a.length, a.seqname))
+        out.append("#")
+        out.append("")
+        out.append("# annotation: ")
+        out.append("# Sequence %s length=%d" % (a.seqname, a.length))
+        anno_genes = [anno_to_gene(tg, a.seqname) for tg in a.genes]
+        for ag in anno_genes:
+            og.print_gene_gff(ag, anno_opts, out, source="database")
+        out.append("# Predicted genes for sequence number %d on %s"
+                   % (num, strand_text))
+        rec = FastaRecord(name=a.seqname, sequence=a.sequence)
+        text, ngenes, transcripts = predict_sequence(
+            model, rec, seq_number=num, geneid_start=gid, engine=engine,
+            with_header=False)
+        gid += ngenes
+        if text:
+            out.append(text.rstrip("\n"))
+        ev.add_to_evaluation(transcripts, anno_genes, strand=strand,
+                             quotient=0.0)
+    ev.finish(out)
+    ev.print_quotients(out)
+    ev.print_tables(out)
+    return "\n".join(out) + "\n"
+
+
 def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
-                     geneid_start: int = 1, engine: str = "gold") -> tuple:
+                     geneid_start: int = 1, engine: str = "gold",
+                     with_header: bool = True) -> tuple:
     """Predict genes on one sequence; returns (gff_text, n_genes).
 
     engine: "gold" (host float64, exact) or "scan" (device float32 fast
@@ -408,6 +508,7 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
         maxstep = 1000
 
     bodies: List[str] = []
+    all_transcripts: List[og.Gene] = []
     gid = geneid_start
     total = 0
     begin = 0
@@ -443,6 +544,7 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
                 tx.id = f"t{tid}"
                 tx.geneid = ag.id
                 tid += 1
+                all_transcripts.append(tx)
         total += len(agl)
         if agl:
             bodies.append(og.print_gene_list(
@@ -462,7 +564,9 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     body = "".join(bodies)
     if total == 0:
         body = "# (none)\n"
-    return "\n".join(header) + "\n" + body, total
+    if not with_header:
+        return body, total, all_transcripts
+    return "\n".join(header) + "\n" + body, total, all_transcripts
 
 
 def predict_file(model: Model, path: str, engine: str = "gold") -> str:
@@ -481,8 +585,8 @@ def predict_file(model: Model, path: str, engine: str = "gold") -> str:
     chunks = []
     gid = 1
     for i, rec in enumerate(recs):
-        text, ngenes = predict_sequence(model, rec, seq_number=i + 1,
-                                        geneid_start=gid, engine=engine)
+        text, ngenes, _ = predict_sequence(model, rec, seq_number=i + 1,
+                                           geneid_start=gid, engine=engine)
         gid += ngenes
         chunks.append(text)
     return "".join(chunks)
