@@ -182,6 +182,8 @@ class Gene:
     introns: List[PathState] = field(default_factory=list)
     utr5exons: List[PathState] = field(default_factory=list)
     utr3exons: List[PathState] = field(default_factory=list)
+    utr5introns: List[PathState] = field(default_factory=list)
+    utr3introns: List[PathState] = field(default_factory=list)
     strand: str = "+"
     complete: bool = True
     # reference Gene constructor defaults both to true (gene.hh:359)
@@ -306,8 +308,9 @@ class Gene:
         return getattr(self, "percent_supp", 0.0)
 
     def shift_coordinates(self, d: int) -> None:
-        """reference Gene::shiftCoordinates (gene.cc)."""
-        for sl in self.ex_in_heads():
+        """reference Gene::shiftCoordinates (gene.cc:1515), which iterates
+        getExInInHeads (incl. UTR introns)."""
+        for sl in self.ex_in_heads() + [self.utr5introns, self.utr3introns]:
             for st in sl:
                 st.begin += d
                 st.end += d
@@ -471,6 +474,12 @@ def project_onto_genes(path: List[PathState], cn: Constants) -> List[Gene]:
             # (reference Constant::reportUtrOnlyGenes == false)
             continue
         # finish gene
+        # UTR introns = gaps between consecutive UTR exons, type intron_type
+        # (reference gene.cc:610-637)
+        g.utr5introns = [PathState(a.end + 1, b.begin - 1, ST.intron_type)
+                         for a, b in zip(g.utr5exons, g.utr5exons[1:])]
+        g.utr3introns = [PathState(a.end + 1, b.begin - 1, ST.intron_type)
+                         for a, b in zip(g.utr3exons, g.utr3exons[1:])]
         g.clength = sum(e.length() for e in g.exons)
         if g.strand == "-":
             g.frame = mod3(g.frame - g.clength + 1)
@@ -637,6 +646,9 @@ class AltGene:
             self.mincodstart = min(self.mincodstart, g.codingstart)
             self.maxcodend = max(self.maxcodend, g.codingend)
         self.transcripts.append(g)
+        # the final gene score: joinGenesFromPredRuns regroups transcripts
+        # via AltGene::addGene which sums member apostprobs (gene.cc:1669);
+        # findGenes' transient overlap-sum is overwritten by that rebuild
         self.apostprob += g.apostprob
 
     def overlaps(self, g: Gene) -> bool:
@@ -682,7 +694,9 @@ def _frame_compatible(e1: PathState, e2: PathState) -> bool:
 
 def group_transcripts(genes: List[Gene]) -> List[AltGene]:
     """reference groupTranscriptsToGenes (gene.cc:3191)."""
-    genes = sorted(genes, key=lambda g: (g.gene_begin(), g.gene_end()))
+    # reference transcripts.sort() is stable with Transcript::operator<
+    # comparing geneBegin only (gene.cc:1545)
+    genes = sorted(genes, key=lambda g: g.gene_begin())
     agl: List[AltGene] = []
     for g in genes:
         first_olp: Optional[AltGene] = None

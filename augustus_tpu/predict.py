@@ -109,13 +109,21 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
     sample_iters = props.get_int("sample", 0)
     if 0 < sample_iters < 10:
         sample_iters = 0       # reference refuses too-low sample counts
-    if sample_iters < 1:
-        sample_iters = 1
-    need_forward = sample_iters > 1
     alt_sampling = props.get_bool("alternatives-from-sampling", False)
     keep_viterbi = props.get_bool("keep_viterbi", False)
     minep = props.get_float("minexonintronprob", 0.0)
     minmep = props.get_float("minmeanexonintronprob", 0.0)
+    mea_on = props.get_bool("mea", False)
+    if mea_on:
+        # reference namgene.cc:85-90: MEA forces sampling and disables
+        # probability filters
+        sample_iters = 100
+        alt_sampling = True
+        minep = 0.0
+        minmep = 0.0
+    if sample_iters < 1:
+        sample_iters = 1
+    need_forward = sample_iters > 1
 
     if engine == "scan" and not need_forward:
         from .engine.device import build_tracks
@@ -195,8 +203,14 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
         no_in_frame_stop=props.get_bool("noInFrameStop", False),
         keep_viterbi=keep_viterbi, minexonintronprob=minep,
         minmeanexonintronprob=minmep)
-    genes = og.max_tracks_order(genes, keep_viterbi=keep_viterbi)
-    agl = og.group_transcripts(genes)
+    if mea_on:
+        from .output import mea as mea_mod
+        genes = mea_mod.get_mea_transcripts(genes, codes, props,
+                                            model.gcode)
+        agl = og.group_transcripts(genes)
+    else:
+        genes = og.max_tracks_order(genes, keep_viterbi=keep_viterbi)
+        agl = og.group_transcripts(genes)
     agl.sort(key=lambda ag: ag.mincodstart)  # AltGene::operator< (stable)
     if not need_forward:
         # reference findGenes else-branch (namgene.cc:945-952)
