@@ -1,0 +1,370 @@
+"""Host-side packing of DPTracks into Pallas-kernel layouts.
+
+The Pallas DP kernel (engine/pallas_scan.py) consumes the same factorized
+tracks as the XLA scan engine (engine/scan.py) but reorganized so that every
+per-step quantity is either
+
+  * a row of a j-indexed plane, lane-aligned by *state index* so whole state
+    categories combine in single (1, 128) vector ops, or
+  * a window of a b-indexed lane-major array streamed HBM->VMEM once per
+    sequence block (the scan engine re-reads these windows from HBM every
+    step, which is what makes it bandwidth-bound).
+
+Layout summary (S <= 128 states, NL <= 64 lanes):
+  sp_state (n,128) f32   per-state scalar: chain/fixed emissions, lessD
+                         gated log-psi, pinned scores (class baked in by j)
+  sp_geo   (n,128) f32   second per-state scalar: equalD log(1-psi),
+                         longass geometric-branch transition
+  sp_convH (n,128) f32   conv-variant H factors, lane = conv_idx*CH + variant
+  ip_conv  (n,64) int32  conv gate|phi<<1, startMin, startMax (3 lanes/conv)
+  ip_misc  (n,64) int32  pinned eop, lessD stop-selectors, fixed group gates
+  gcum_hbm (C, NGR, W+n_pad+EP) f32  lane-major G pool (pools x 3 phases) +
+                         intron cum1 rows, front-padded W cols, per GC class
+  msk_hbm  (NMS, W+n_pad+EP) int32   lessD b_valid / b_stopflag tracks
+  ltc_all  (C,128,128) f32           log transition matrices (rows p, cols s)
+  lt_T     (128,64) f32              lane_trans transposed (rows p, cols l)
+  sel_pack (NSEL,64,128) f32         fixed-state lane->state one-hot (0/-inf)
+                         permutation matrices (A and B branches per group)
+  lv_pack  (1,LVP) f32               concatenated reversed lenvecs+fsel masks
+
+Lanes are permuted so the pinned-state lanes come first: the kernel then
+maintains the full-history pinned buffer with a static `lane_row[:, :8]`
+slice instead of a gather.
+
+Mirrors engine/scan.py:split_tracks semantics exactly (same add order, same
+gate/tie conventions) so the kernel's Viterbi values match the scan
+engine's; see tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .device import DPTracks, F32_NEG
+
+W_PAD = 3200          # back-window: >= CONV_CAP + margins (scan uses 3136)
+BLK = 2048            # positions per grid block (VMEM budget)
+EP = 640              # end padding of b-indexed arrays (>= SLACK + 128)
+CH = 9                # max conv variants per state (sp_convH lane stride)
+NEG = np.float32(F32_NEG)
+
+
+class PallasFallback(Exception):
+    """Raised when a chunk cannot run on the Pallas fast path."""
+
+
+@dataclass(frozen=True)
+class PKVariant:
+    width: int
+    len_lo: int
+    len_hi: int
+    lv_off: int                  # offset of reversed lenvec in lv_pack
+    fm_off: int                  # offset of 3 fsel masks (framed) or -1
+    g3row: int                   # first row of this variant's G pool in GS
+    h_lane: int                  # sp_convH lane
+
+
+@dataclass(frozen=True)
+class PKConv:
+    state: int
+    bpl: int
+    a_off: int
+    lane: int                    # LM row (3 consecutive if frame_mode)
+    frame_mode: int
+    ip_lane: int                 # ip_conv lane of gate|phi<<1 (then +1,+2)
+    variants: Tuple[PKVariant, ...]
+
+
+@dataclass(frozen=True)
+class PKLessD:
+    state: int
+    lane: int
+    window: int
+    cum_row: int                 # GS row of the intron cum1 track
+    valid_row: int               # MS row of b_valid
+    stop_row: int                # MS row of b_stopflag
+    lv_off: int
+    jsel_lane: int               # ip_misc lane
+
+
+@dataclass(frozen=True)
+class PKFixedGroup:
+    jump: int
+    kind: int                    # 0 plain, 1 equalD(+extra), 2 longass(A/B)
+    sel_idx: int                 # index of A matrix in sel_pack
+    selb_idx: int                # index of B matrix or -1
+    gate_bit: int                # bit in ip_misc gate lane
+    states: Tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class PKPinned:
+    state: int
+    lane: int                    # post-permutation lane (< 8)
+    eop_lane: int                # ip_misc lane
+
+
+@dataclass(frozen=True)
+class PKStatic:
+    n: int
+    n_pad: int
+    n_blocks: int
+    S: int
+    NL: int
+    C: int
+    NGR: int                     # rows in gcum scratch
+    NMS: int                     # rows in msk scratch
+    NSEL: int
+    LVP: int
+    chain_states: Tuple[int, ...]
+    fixed_groups: Tuple[PKFixedGroup, ...]
+    lessd: Tuple[PKLessD, ...]
+    pinned: Tuple[PKPinned, ...]
+    convs: Tuple[PKConv, ...]
+    gate_lane: int               # ip_misc lane of fixed group gate bits
+    cls_lane: int
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_tracks(tr: DPTracks):
+    """(static, arrays): kernel inputs from DPTracks.
+
+    Raises PallasFallback if the chunk violates fast-path preconditions
+    (GC class changing inside a block's consumption span).
+    """
+    from .scan import split_tracks, END_PAD
+    st, arr = split_tracks(tr)       # reuse the consolidated scalar tables
+    n, S, C = st.n, tr.S, st.C
+    NL = tr.n_lanes
+    assert S <= 64 and NL <= 64
+    n_blocks = -(-n // BLK)
+    n_pad = n_blocks * BLK
+
+    stab = arr["scalar_table"]       # (n, NSC) f32, class baked in
+    itab = arr["int_table"]          # (n, NIC) int32
+    cls = itab[:, st.cls_col].astype(np.int64)
+
+    # ---- per-block class constancy check (consumption class) -----------
+    cls_blk = np.empty(max(n_blocks, 1), dtype=np.int32)
+    for i in range(n_blocks):
+        span = cls[i * BLK: min(n, (i + 1) * BLK)]
+        if span.size and (span != span[0]).any():
+            raise PallasFallback(f"GC class changes inside block {i}")
+        cls_blk[i] = span[0] if span.size else 0
+
+    # ---- lane permutation: pinned lanes first ---------------------------
+    pin_lanes = [p.lane for p in st.pinned]
+    rest = [l for l in range(NL) if l not in pin_lanes]
+    order = pin_lanes + rest                     # old lane at position new
+    lane_of = {old: new for new, old in enumerate(order)}
+    # framed conv states need 3 consecutive lanes: a stable shift keeps
+    # relative order of non-pinned lanes, and pinned lanes are standalone.
+    for c in st.convs:
+        if c.frame_mode:
+            assert lane_of[c.lane + 1] == lane_of[c.lane] + 1
+            assert lane_of[c.lane + 2] == lane_of[c.lane] + 2
+
+    assert S <= 64
+    sp_state = np.full((n_pad, 128), NEG, dtype=np.float32)
+    sp_geo = np.zeros((n_pad, 128), dtype=np.float32)
+    sp_convH = np.full((n_pad, 128), NEG, dtype=np.float32)
+    ip_conv = np.zeros((n_pad, 128), dtype=np.int32)
+    ip_misc = np.zeros((n_pad, 128), dtype=np.int32)
+
+    pos = np.arange(n)
+    GATE_LANE, CLS_LANE = 17, 16
+    ip_misc[:n, CLS_LANE] = cls.astype(np.int32)
+
+    # ---- chain ----------------------------------------------------------
+    chain_states = []
+    for cs in st.chain:
+        sp_state[:n, cs.state] = stab[:, cs.emi_col]
+        chain_states.append(cs.state)
+
+    # ---- fixed groups by (jump, kind) -----------------------------------
+    by_key: Dict[Tuple[int, int], List] = {}
+    for fs in st.fixed:
+        key = (fs.jump, 0 if fs.kind == 0 else fs.kind)
+        by_key.setdefault(key, []).append(fs)
+    sel_list: List[np.ndarray] = []
+    groups: List[PKFixedGroup] = []
+    gate_bits = np.zeros((n_pad,), dtype=np.int32)
+    # splice-signal emissions feed the bare lanes consumed by equalD
+    # (fwd: longdss, rev: rlongass): a finite lane value at j-D requires a
+    # finite fixed-state emission there (necessary condition)
+    dss_any = np.zeros(n, dtype=bool)
+    for fs in st.fixed:
+        dss_any |= stab[:, fs.emi_col] > float(NEG) / 2
+    for gi, (key, fss) in enumerate(sorted(by_key.items())):
+        jump, kind = key
+        selA = np.full((64, 64), NEG, dtype=np.float32)
+        selB = np.full((64, 64), NEG, dtype=np.float32)
+        any_emi = np.zeros(n, dtype=bool)
+        for fs in fss:
+            s = fs.state
+            sp_state[:n, s] = stab[:, fs.emi_col]
+            any_emi |= stab[:, fs.emi_col] > float(NEG) / 2
+            selA[lane_of[fs.lane], s] = 0.0
+            if fs.kind in (1, 2):
+                sp_geo[:n, s] = stab[:, fs.extra_col]
+            if fs.kind == 2:
+                selB[lane_of[fs.lane + 1], s] = 0.0
+        sel_idx = len(sel_list)
+        sel_list.append(selA)
+        selb_idx = -1
+        if kind == 2:
+            selb_idx = len(sel_list)
+            sel_list.append(selB)
+        if kind == 1:
+            # lane source is a bare dss value at j - jump; at j == jump the
+            # lane holds the initial value l0 instead (scan lanes0)
+            src = np.zeros(n, dtype=bool)
+            src[jump:] = dss_any[: n - jump]
+            src[min(jump, n - 1):  min(jump, n - 1) + 1] = True
+            gate = any_emi & src & (pos >= jump)
+        else:
+            gate = any_emi & (pos >= jump)
+        gate_bits[:n] |= gate.astype(np.int32) << gi
+        groups.append(PKFixedGroup(jump=jump, kind=kind, sel_idx=sel_idx,
+                                   selb_idx=selb_idx, gate_bit=gi,
+                                   states=tuple(fs.state for fs in fss)))
+    ip_misc[:, GATE_LANE] = gate_bits
+
+    # ---- lenvec / fsel-mask pack ----------------------------------------
+    lv_parts: List[np.ndarray] = []
+    lv_cursor = [0]
+
+    def lv_add(vec: np.ndarray) -> int:
+        off = lv_cursor[0]
+        v = np.asarray(vec, dtype=np.float32).ravel()
+        lv_parts.append(v)
+        lv_cursor[0] += v.shape[0]
+        return off
+
+    # ---- G/cum HBM array -------------------------------------------------
+    G_all = arr["G_all"]             # (NG, C, 3, GPAD + n + END_PAD)
+    cum_all = arr["cum_all"]         # (NCU, C, GPAD + n + 1 + END_PAD)
+    NG = G_all.shape[0]
+    NCU = cum_all.shape[0]
+    GPAD = G_all.shape[-1] - n - END_PAD
+    NGR = _round_up(NG * 3 + NCU, 8)
+    gcum = np.full((C, NGR, W_PAD + n_pad + EP), NEG, dtype=np.float32)
+    for g in range(NG):
+        for ph in range(3):
+            gcum[:, g * 3 + ph, W_PAD: W_PAD + n] = \
+                G_all[g, :, ph, GPAD: GPAD + n]
+    for u in range(NCU):
+        gcum[:, NG * 3 + u, W_PAD: W_PAD + n] = \
+            cum_all[u, :, GPAD + 1: GPAD + 1 + n]      # cum1[p] = cum[p+1]
+
+    # ---- lessD ------------------------------------------------------------
+    lessd_list: List[PKLessD] = []
+    NMS = _round_up(max(2 * len(st.lessd), 1), 8)
+    msk = np.zeros((NMS, W_PAD + n_pad + EP), dtype=np.int32)
+    bv_all = arr.get("lessd_bvalid_all")
+    bs_all = arr.get("lessd_bstop_all")
+    for li, lsd in enumerate(st.lessd):
+        pad_scan = bv_all.shape[1] - n - END_PAD
+        msk[2 * li, W_PAD: W_PAD + n] = bv_all[li, pad_scan: pad_scan + n]
+        msk[2 * li + 1, W_PAD: W_PAD + n] = bs_all[li, pad_scan: pad_scan + n]
+        off = lv_add(arr[lsd.lenvec_key])          # already reversed
+        # fold j_gate into psi: all scores NEG when the end is gated off
+        psi = stab[:, lsd.psi_col]
+        jgate = itab[:, lsd.jgate_col] != 0
+        sp_state[:n, lsd.state] = np.where(jgate, psi, NEG)
+        lessd_list.append(PKLessD(
+            state=lsd.state, lane=lane_of[lsd.lane], window=lsd.window,
+            cum_row=NG * 3 + lsd.cum_id, valid_row=2 * li,
+            stop_row=2 * li + 1, lv_off=off, jsel_lane=8 + li))
+        ip_misc[:n, 8 + li] = itab[:, lsd.jsel_col]
+
+    # ---- pinned ------------------------------------------------------------
+    pinned_list: List[PKPinned] = []
+    for pi, psd in enumerate(st.pinned):
+        sp_state[:n, psd.state] = stab[:, psd.score_col]
+        ip_misc[:n, pi] = itab[:, psd.eop_col]
+        new_lane = lane_of[psd.lane]
+        assert new_lane < 8
+        pinned_list.append(PKPinned(state=psd.state, lane=new_lane,
+                                    eop_lane=pi))
+
+    # ---- convs ---------------------------------------------------------------
+    conv_list: List[PKConv] = []
+    for ci, ecs in enumerate(st.convs):
+        assert len(ecs.variants) <= CH
+        vs: List[PKVariant] = []
+        for vi, var in enumerate(ecs.variants):
+            lvoff = lv_add(arr[f"lenvec{ci}_{vi}"])     # reversed lenvec
+            fmoff = -1
+            if var.fsel is not None:
+                m = np.zeros((3, var.width), dtype=np.float32)
+                for w, f in enumerate(var.fsel):
+                    m[f, w] = 1.0
+                fmoff = lv_add(m[0])
+                lv_add(m[1])
+                lv_add(m[2])
+            h_lane = ci * CH + vi
+            assert h_lane < 128
+            sp_convH[:n, h_lane] = stab[:, var.h_col]
+            vs.append(PKVariant(width=var.width, len_lo=var.len_lo,
+                                len_hi=var.len_hi, lv_off=lvoff,
+                                fm_off=fmoff, g3row=var.g_id * 3,
+                                h_lane=h_lane))
+        ip_lane = 18 + ci * 3
+        assert ip_lane + 2 < 64
+        ip_conv[:n, ip_lane] = itab[:, ecs.gate_col]
+        ip_conv[:n, ip_lane + 1] = itab[:, ecs.smin_col]
+        ip_conv[:n, ip_lane + 2] = itab[:, ecs.smax_col]
+        conv_list.append(PKConv(
+            state=ecs.state, bpl=ecs.bpl, a_off=ecs.a_off,
+            lane=lane_of[ecs.lane], frame_mode=ecs.frame_mode,
+            ip_lane=ip_lane, variants=tuple(vs)))
+
+    LVP = _round_up(max(lv_cursor[0], 128), 128)
+    lv_pack = np.full((1, LVP), NEG, dtype=np.float32)
+    o = 0
+    for part in lv_parts:
+        lv_pack[0, o: o + part.shape[0]] = part
+        o += part.shape[0]
+
+    # ---- transitions / lanes / init -----------------------------------------
+    ltc_all = np.full((C, 64, 64), NEG, dtype=np.float32)
+    ltc_all[:, :S, :S] = arr["log_trans"]
+    lane_trans = arr["lane_trans"][order]          # permuted lanes
+    lt_T = np.full((64, 64), NEG, dtype=np.float32)
+    lt_T[:S, :NL] = lane_trans.T
+    sel_pack = (np.stack(sel_list) if sel_list
+                else np.zeros((1, 64, 64), np.float32))
+
+    v0 = np.full((1, 64), NEG, dtype=np.float32)
+    v0[0, :S] = arr["log_init"]
+    lane_cand = arr["log_init"][None, :] + lane_trans
+    l0 = np.full((1, 64), NEG, dtype=np.float32)
+    l0[0, :NL] = lane_cand.max(axis=1)
+    a0 = np.zeros((1, 64), dtype=np.int32)
+    a0[0, :NL] = lane_cand.argmax(axis=1)
+
+    static = PKStatic(
+        n=n, n_pad=n_pad, n_blocks=n_blocks, S=S, NL=NL, C=C, NGR=NGR,
+        NMS=NMS, NSEL=len(sel_pack), LVP=LVP,
+        chain_states=tuple(chain_states),
+        fixed_groups=tuple(groups), lessd=tuple(lessd_list),
+        pinned=tuple(pinned_list), convs=tuple(conv_list),
+        gate_lane=GATE_LANE, cls_lane=CLS_LANE)
+
+    arrays = {
+        "sp_state": sp_state, "sp_geo": sp_geo, "sp_convH": sp_convH,
+        "ip_conv": ip_conv, "ip_misc": ip_misc,
+        "gcum_hbm": gcum, "msk_hbm": msk,
+        "ltc_all": ltc_all, "lt_T": lt_T, "sel_pack": sel_pack,
+        "lv_pack": lv_pack, "v0": v0, "l0": l0, "a0": a0,
+        "cls_blk": cls_blk,
+        "log_term": np.asarray(arr["log_term"]),
+    }
+    return static, arrays

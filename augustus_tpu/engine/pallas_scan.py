@@ -1,0 +1,554 @@
+"""Pallas TPU kernel for the semi-Markov Viterbi scan.
+
+One `pallas_call` runs the whole DP for a sequence chunk: the grid iterates
+sequentially over blocks of BLK positions; an inner `fori_loop` performs the
+per-base recursion with every window the XLA scan engine re-reads from HBM
+each step (lane history, G pools, cumsums, lessD masks) held resident in
+VMEM.  This removes the ~1 MB/step HBM traffic and per-op dispatch overhead
+that bound engine/scan.py.
+
+Data layout (see engine/pallas_pack.py):
+  PM  (W+BLK, 64) f32/i32  position-major lane history: row j-blk0+W holds
+                           lane values at j; written once per step, read for
+                           point lookups (fixed jumps, backpointer preds)
+  LM  (64, W+BLK) f32      lane-major mirror for window reads; refreshed
+                           from PM by a (128,64)->(64,128) transpose every
+                           128 steps (lane-dim stores must be 128-aligned)
+  PH  (W+n_pad, 8)         full-history values/args of the pinned-state
+                           lanes (reverse-strand ORF begins reach arbitrarily
+                           far back, reference src/exonmodel.cc:1044)
+  GS  (NGR, W+BLK) f32     per-block DMA of the G pool + intron cum1 rows
+                           for the block's GC class
+  MS  (NMS, W+BLK) i32     lessD b_valid / b_stopflag windows
+
+Unaligned sliding windows are read as 128-aligned slices + `pltpu.roll`;
+the <=127 positions newer than the last LM flush are merged in from PM via
+a (128,1)->(1,128) transpose (tail merge).
+
+Semantics mirror engine/scan.py step-for-step (same op order, same
+first/last-argmax tie conventions), so Viterbi values and live backpointers
+match the scan engine exactly; the gold engine (engine/gold.py) remains the
+byte-exactness oracle.  States gated off at a position (scan computes their
+dead backpointers anyway) get packed bp 0 here - traceback never reads them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .device import DPTracks, F32_NEG
+from .pallas_pack import (BLK, CH, EP, W_PAD, PKStatic, PallasFallback,
+                          pack_tracks)
+
+NEGF = float(F32_NEG)
+GATE = -1.0e29
+W = W_PAD
+SLACK = 512           # aligned-superwindow reads may overrun by < 384 cols
+
+
+def _ru(x: int, m: int = 128) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _iota_lane(width: int, dtype=jnp.int32):
+    return jax.lax.broadcasted_iota(dtype, (1, width), 1)
+
+
+def _winread(ref, row, cs, WP):
+    """(1, WP) window of `ref` row starting at dynamic col cs (row dynamic).
+
+    Reads the 128-aligned superwindow and rolls it into place (dynamic
+    lane-dim slices must be 128-aligned on TPU).
+    """
+    a0 = pl.multiple_of((cs // 128) * 128, 128)
+    r = cs - a0
+    raw = ref[pl.ds(row, 1), pl.ds(a0, WP + 128)]
+    size = WP + 128
+    return pltpu.roll(raw, shift=(size - r) % size, axis=1)[:, :WP]
+
+
+def _lm_window(LM, PM, lane, cs, WP, f_col):
+    """LM row window with the unflushed tail merged in from PM.
+
+    cs: LM col of window start; f_col: first LM col not yet flushed.
+    Window positions beyond the current step are never consumed (masked by
+    the callers' begin/eop bounds), so the 128-periodic tail tiling never
+    wraps into live data.
+    """
+    rolled = _winread(LM, lane, cs, WP)
+    tail_col = PM[pl.ds(f_col, 128), pl.ds(lane, 1)]        # (128, 1)
+    tail = jnp.transpose(tail_col, (1, 0))                   # (1, 128)
+    sh = (f_col - cs) % 128
+    tail_r = pltpu.roll(tail, shift=sh, axis=1)
+    tiled = jnp.concatenate([tail_r] * (WP // 128), axis=1)
+    widx = _iota_lane(WP)
+    return jnp.where(widx >= (f_col - cs), tiled, rolled)
+
+
+def _first_argmax_rows(x):
+    """(max, argmax) over axis 0 (first-match), keepdims, for (R, L) x."""
+    m = jnp.max(x, axis=0, keepdims=True)
+    iot = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    a = jnp.min(jnp.where(x == m, iot, np.int32(1 << 30)), axis=0,
+                keepdims=True)
+    return m, a
+
+
+def _last_argmax_lane(score, width):
+    """(max, last-argmax) of a (1, width) vector (scan's conv/lessD rule)."""
+    m = jnp.max(score)
+    idx = jnp.max(jnp.where(score == m, _iota_lane(width), -1))
+    return m, jnp.maximum(idx, 0)
+
+
+INT_FILL = np.int32(-(1 << 30))
+
+
+def _extract(vec, lane, width, fill):
+    """Scalar vec[0, lane] with a traced lane index."""
+    return jnp.max(jnp.where(_iota_lane(width) == lane, vec,
+                             jnp.full_like(vec, fill)))
+
+
+def _col_scalar(ref, row, col, fill):
+    """ref[row, col] with traced col (lane-dim loads must be aligned)."""
+    a0 = pl.multiple_of((col // 128) * 128, 128)
+    win = ref[pl.ds(row, 1), pl.ds(a0, 128)]
+    return _extract(win, col - a0, 128, fill)
+
+
+def make_kernel(st: PKStatic, n_hist: int):
+    """Build the kernel function for a fixed PKStatic."""
+    n, NGR, NMS = st.n, st.NGR, st.NMS
+    NB = st.n_blocks
+
+    def kernel(cls_ref, sps_hbm, spg_hbm, sph_hbm, ipc_hbm, ipm_hbm,
+               gcum_hbm, msk_hbm, ltc_ref, ltT_ref, sel_ref, lv_ref,
+               v0_ref, l0_ref, a0_ref, cmask_ref,
+               bp_out, v_out, vd_out,
+               GS, MS, SPS, SPG, SPH, IPC, IPM, BPS, VDBG,
+               PM, PMA, LM, PHL, PHLA, VC, sems):
+        i = pl.program_id(0)
+        blk0 = i * BLK
+        cb = cls_ref[i]
+
+        # ---- block-start DMA (j-planes + b-window arrays) ----------------
+        cps = [
+            pltpu.make_async_copy(gcum_hbm.at[cb, :, pl.ds(blk0, W + BLK + SLACK)],
+                                  GS, sems.at[0]),
+            pltpu.make_async_copy(msk_hbm.at[:, pl.ds(blk0, W + BLK + SLACK)],
+                                  MS, sems.at[1]),
+            pltpu.make_async_copy(sps_hbm.at[pl.ds(blk0, BLK), :], SPS,
+                                  sems.at[2]),
+            pltpu.make_async_copy(spg_hbm.at[pl.ds(blk0, BLK), :], SPG,
+                                  sems.at[3]),
+            pltpu.make_async_copy(sph_hbm.at[pl.ds(blk0, BLK), :], SPH,
+                                  sems.at[4]),
+            pltpu.make_async_copy(ipc_hbm.at[pl.ds(blk0, BLK), :], IPC,
+                                  sems.at[5]),
+            pltpu.make_async_copy(ipm_hbm.at[pl.ds(blk0, BLK), :], IPM,
+                                  sems.at[6]),
+        ]
+        for c in cps:
+            c.start()
+
+        # ---- carry init / shift ------------------------------------------
+        @pl.when(i == 0)
+        def _():
+            l0 = l0_ref[:, :]
+            a0 = a0_ref[:, :]
+            PM[0:W, :] = jnp.broadcast_to(l0, (W, 64))
+            PMA[0:W, :] = jnp.broadcast_to(a0, (W, 64))
+            LM[:, 0:W] = jnp.broadcast_to(jnp.transpose(l0, (1, 0)), (64, W))
+            PHL[:, 0:W] = jnp.broadcast_to(
+                jnp.transpose(l0[:, 0:8], (1, 0)), (8, W))
+            PHLA[:, 0:W] = jnp.broadcast_to(
+                jnp.transpose(a0[:, 0:8], (1, 0)), (8, W))
+            VC[:, :] = v0_ref[:, :]
+
+        @pl.when(i > 0)
+        def _():
+            # shift the last W positions to the front (chunked, increasing
+            # dst: src row = dst + BLK > dst, so no clobbering)
+            for c0 in range(0, W, 640):
+                PM[c0:c0 + 640, :] = PM[c0 + BLK: c0 + BLK + 640, :]
+                PMA[c0:c0 + 640, :] = PMA[c0 + BLK: c0 + BLK + 640, :]
+                LM[:, c0:c0 + 640] = LM[:, c0 + BLK: c0 + BLK + 640]
+
+        for c in cps:
+            c.wait()
+
+        ltc = ltc_ref[cb]                                    # (64, 64)
+
+        def step(jj, _):
+            j = blk0 + jj
+
+            @pl.when((j >= 1) & (j < n))
+            def _():
+                vprev = VC[:, :]                              # (1, 64)
+                sps = SPS[pl.ds(jj, 1), 0:64]                 # (1, 64)
+                spg = SPG[pl.ds(jj, 1), 0:64]
+                sph = SPH[pl.ds(jj, 1), :]                    # (1, 128)
+                ipm = IPM[pl.ds(jj, 1), :]                    # (1, 128) i32
+                ipc = IPC[pl.ds(jj, 1), :]
+                f_col = W + (jj // 128) * 128                 # LM flush edge
+
+                # ---- chain (+ global predecessor argmax) ----------------
+                vcol = jnp.transpose(vprev, (1, 0))           # (64, 1)
+                cand, carg = _first_argmax_rows(vcol + ltc)   # (1,64) each
+                chm = cmask_ref[0:1, :] != 0
+                v = jnp.where(
+                    chm, jnp.where(cand > GATE, cand + sps, NEGF), NEGF)
+                pred = jnp.where(chm, carg, 0)
+                offv = jnp.where(chm, 1, 0)
+
+                # ---- fixed groups ---------------------------------------
+                gbits = _extract(ipm, st.gate_lane, 128, INT_FILL)
+                for gi, g in enumerate(st.fixed_groups):
+                    gmask = cmask_ref[gi + 1: gi + 2, :] != 0
+
+                    def fgrp(g=g, gmask=gmask, v=v, pred=pred, offv=offv,
+                             sps=sps, spg=spg):
+                        row = PM[pl.ds(jj + W - g.jump, 1), :]
+                        arow = PMA[pl.ds(jj + W - g.jump, 1), :]
+                        rcol = jnp.transpose(row, (1, 0))
+                        acol = jnp.transpose(arow.astype(jnp.float32),
+                                             (1, 0))
+                        selA = sel_ref[g.sel_idx]
+                        lvA = jnp.max(rcol + selA, axis=0, keepdims=True)
+                        laA = jnp.max(acol + selA, axis=0, keepdims=True)
+                        if g.kind == 0:
+                            lv, la = lvA, laA
+                        elif g.kind == 1:
+                            lv, la = lvA + spg, laA
+                        else:
+                            selB = sel_ref[g.selb_idx]
+                            lvB = jnp.max(rcol + selB, axis=0,
+                                          keepdims=True) + spg
+                            laB = jnp.max(acol + selB, axis=0,
+                                          keepdims=True)
+                            lv = jnp.maximum(lvA, lvB)
+                            la = jnp.where(lvB > lvA, laB, laA)
+                        ok = (lv > GATE) & (sps > GATE)
+                        nv = jnp.where(gmask,
+                                       jnp.where(ok, lv + sps, NEGF), v)
+                        npred = jnp.where(gmask & ok, la.astype(jnp.int32),
+                                          pred)
+                        noff = jnp.where(gmask & ok, g.jump, offv)
+                        return nv, npred, noff
+
+                    v, pred, offv = jax.lax.cond(
+                        ((gbits >> g.gate_bit) & 1) != 0, fgrp,
+                        lambda v=v, pred=pred, offv=offv: (v, pred, offv))
+
+                # ---- lessD ----------------------------------------------
+                sc_vals: List = []     # (state, val, pred, off) scalars
+                for lsd in st.lessd:
+                    W5 = lsd.window
+                    WP5 = _ru(W5)
+                    psi = _extract(sps, lsd.state, 64, F32_NEG)
+
+                    def flsd(lsd=lsd, W5=W5, WP5=WP5, psi=psi, jj=jj, j=j,
+                             ipm=ipm, f_col=f_col):
+                        cs = jj + W - W5
+                        L = _lm_window(LM, PM, lsd.lane, cs, WP5, f_col)
+                        cumw = _winread(GS, lsd.cum_row, cs, WP5)
+                        cumj = _col_scalar(GS, lsd.cum_row,
+                                           jj + W, F32_NEG)
+                        bv = _winread(MS, lsd.valid_row, cs, WP5)
+                        bs = _winread(MS, lsd.stop_row, cs, WP5)
+                        jsel = _extract(ipm, lsd.jsel_lane, 128, INT_FILL)
+                        lvd = lv_ref[0:1, lsd.lv_off: lsd.lv_off + W5]
+                        widx = _iota_lane(WP5)
+                        inw = widx < W5
+                        eops_ok = ((j - W5) + widx) >= 0
+                        stop = (bs & jsel) != 0
+                        ok = inw & eops_ok & (bv != 0) & (~stop)
+                        lvd_p = jnp.concatenate(
+                            [lvd, jnp.full((1, WP5 - W5), F32_NEG,
+                                           jnp.float32)], axis=1)
+                        seg = cumj - cumw
+                        score = jnp.where(ok & (L > GATE),
+                                          ((L + seg) + lvd_p) + psi, NEGF)
+                        best, ridx = _last_argmax_lane(score, WP5)
+                        prow = PMA[pl.ds(jj + W - W5 + ridx, 1), :]
+                        p = _extract(prow, lsd.lane, 64, INT_FILL)
+                        val = jnp.where(best > GATE, best,
+                                        jnp.float32(NEGF))
+                        return val, p, (W5 - ridx).astype(jnp.int32)
+
+                    val, p, off = jax.lax.cond(
+                        psi > GATE, flsd,
+                        lambda: (jnp.float32(NEGF), jnp.int32(0), jnp.int32(1)))
+                    sc_vals.append((lsd.state, val, p, off))
+
+                # ---- pinned ---------------------------------------------
+                for pn in st.pinned:
+                    sc = _extract(sps, pn.state, 64, F32_NEG)
+
+                    def fpin(pn=pn, sc=sc, ipm=ipm, j=j, jj=jj):
+                        eop = _extract(ipm, pn.eop_lane, 128, INT_FILL)
+                        eop = jnp.maximum(eop, -W)
+                        blk0 = j - jj
+
+                        def recent():
+                            row = PM[pl.ds(eop - blk0 + W, 1), :]
+                            arow = PMA[pl.ds(eop - blk0 + W, 1), :]
+                            return (_extract(row, pn.lane, 64, F32_NEG),
+                                    _extract(arow, pn.lane, 64, INT_FILL))
+
+                        def old():
+                            return (_col_scalar(PHL, pn.lane, eop + W,
+                                                F32_NEG),
+                                    _col_scalar(PHLA, pn.lane, eop + W,
+                                                INT_FILL))
+
+                        lv, la = jax.lax.cond(eop >= blk0 - W, recent, old)
+                        val = jnp.where(lv > GATE, lv + sc,
+                                        jnp.float32(NEGF))
+                        return val, la,\
+                            (j - eop).astype(jnp.int32)
+
+                    val, p, off = jax.lax.cond(
+                        sc > GATE, fpin,
+                        lambda: (jnp.float32(NEGF), jnp.int32(0), jnp.int32(1)))
+                    sc_vals.append((pn.state, val, p, off))
+
+                # ---- exon convolutions ----------------------------------
+                for cv in st.convs:
+                    gp = _extract(ipc, cv.ip_lane, 128, INT_FILL)
+
+                    def fconv(cv=cv, gp=gp, ipc=ipc, sph=sph, jj=jj, j=j,
+                              f_col=f_col):
+                        phi = gp >> 1
+                        smin = _extract(ipc, cv.ip_lane + 1, 128, INT_FILL)
+                        smax = _extract(ipc, cv.ip_lane + 2, 128, INT_FILL)
+                        best = jnp.float32(NEGF)
+                        bpred = jnp.int32(0)
+                        boff = jnp.int32(1)
+                        for var in cv.variants:
+                            wd = var.width
+                            WPv = _ru(wd)
+                            csG = jj + W + cv.a_off - var.len_hi
+                            G = _winread(GS, var.g3row + phi, csG, WPv)
+                            csL = csG - cv.bpl - 1
+                            if cv.frame_mode:
+                                L = jnp.zeros((1, WPv), jnp.float32)
+                                for f in range(3):
+                                    mf = lv_ref[0:1, var.fm_off + f * wd:
+                                                var.fm_off + (f + 1) * wd]
+                                    mfp = jnp.concatenate(
+                                        [mf, jnp.zeros((1, WPv - wd),
+                                                       jnp.float32)], axis=1)
+                                    Lf = _lm_window(LM, PM, cv.lane + f,
+                                                    csL, WPv, f_col)
+                                    L = L + Lf * mfp
+                            else:
+                                L = _lm_window(LM, PM, cv.lane, csL, WPv,
+                                               f_col)
+                            lvd = lv_ref[0:1, var.lv_off: var.lv_off + wd]
+                            lvd_p = jnp.concatenate(
+                                [lvd, jnp.full((1, WPv - wd), F32_NEG,
+                                               jnp.float32)], axis=1)
+                            widx = _iota_lane(WPv)
+                            bvec = (j + cv.a_off - var.len_hi) + widx
+                            okb = ((bvec >= smin) & (bvec <= smax) &
+                                   (widx < wd))
+                            score = jnp.where(okb & (L > GATE) & (G > GATE),
+                                              (L + G) + lvd_p, NEGF)
+                            sbest, ridx = _last_argmax_lane(score, WPv)
+                            H = _extract(sph, var.h_lane, 128, F32_NEG)
+                            vbest = jnp.where((sbest > GATE) & (H > GATE),
+                                              sbest + H, NEGF)
+                            take = vbest > best
+                            prow = PMA[pl.ds(csL + ridx, 1), :]
+                            if cv.frame_mode:
+                                # fsel[ridx]: periodic frame pattern
+                                # recovered from the packed masks
+                                m0 = lv_ref[0, var.fm_off]
+                                m1 = lv_ref[0, var.fm_off + wd]
+                                f0 = jnp.where(m0 > 0.5, 0,
+                                               jnp.where(m1 > 0.5, 1, 2))
+                                sgn = 1 if cv.frame_mode == 1 else -1
+                                f = (f0 + sgn * ridx) % 3
+                            else:
+                                f = jnp.int32(0)
+                            p = _extract(prow, cv.lane + f, 64, INT_FILL)
+                            woff = (var.len_hi - cv.a_off + cv.bpl + 1) \
+                                - ridx
+                            best = jnp.where(take, vbest, best)
+                            bpred = jnp.where(take, p, bpred)
+                            boff = jnp.where(take, woff, boff)
+                        return best, bpred, boff
+
+                    val, p, off = jax.lax.cond(
+                        (gp & 1) != 0, fconv,
+                        lambda: (jnp.float32(NEGF), jnp.int32(0), jnp.int32(1)))
+                    sc_vals.append((cv.state, val, p, off))
+
+                # ---- scatter scalar-producing states --------------------
+                lane_iota = _iota_lane(64)
+                for s, val, p, off in sc_vals:
+                    onehot = lane_iota == s
+                    v = jnp.where(onehot, val, v)
+                    pred = jnp.where(onehot, p, pred)
+                    offv = jnp.where(onehot, off, offv)
+
+                VC[:, :] = v
+                BPS[pl.ds(jj, 1), 0:64] = (pred << 20) | offv
+                VDBG[pl.ds(jj, 1), 0:64] = v
+
+            @pl.when(j == 0)
+            def _():
+                BPS[pl.ds(jj, 1), 0:64] = jnp.zeros((1, 64), jnp.int32)
+
+            # ---- lane update + history writes (every j < n) -------------
+            @pl.when(j < n)
+            def _():
+                vnow = VC[:, :]
+                vcol2 = jnp.transpose(vnow, (1, 0))
+                lmat = vcol2 + ltT_ref[:, :]                  # (64, 64)
+                lval, larg = _first_argmax_rows(lmat)
+                PM[pl.ds(jj + W, 1), :] = lval
+                PMA[pl.ds(jj + W, 1), :] = larg
+
+            # ---- LM flush every 128 steps --------------------------------
+            @pl.when(jj % 128 == 127)
+            def _():
+                col = pl.multiple_of(jj + W - 127, 128)
+                gcol = pl.multiple_of(blk0 + jj + W - 127, 128)
+                blkv = jnp.transpose(PM[pl.ds(col, 128), :], (1, 0))
+                blka = jnp.transpose(PMA[pl.ds(col, 128), :], (1, 0))
+                LM[:, pl.ds(col, 128)] = blkv
+                PHL[:, pl.ds(gcol, 128)] = blkv[0:8, :]
+                PHLA[:, pl.ds(gcol, 128)] = blka[0:8, :]
+
+            return 0
+
+        jax.lax.fori_loop(0, BLK, step, 0)
+        v_out[:, :] = VC[:, :]
+
+        # ---- stream the block's backpointers out -------------------------
+        out_dma = pltpu.make_async_copy(BPS, bp_out.at[pl.ds(blk0, BLK), :],
+                                        sems.at[7])
+        out_dma.start()
+        vd_dma = pltpu.make_async_copy(VDBG,
+                                       vd_out.at[pl.ds(blk0, BLK), :],
+                                       sems.at[8])
+        vd_dma.start()
+        out_dma.wait()
+        vd_dma.wait()
+
+    return kernel
+
+
+class PallasEngine:
+    """Drop-in fast path for ScanEngine backed by the Pallas DP kernel."""
+
+    def __init__(self, tracks: DPTracks, interpret: bool = False):
+        self.tracks = tracks
+        self.static, self.arrays = pack_tracks(tracks)
+        st = self.static
+        nm = 1 + len(st.fixed_groups)
+        cmask = np.zeros((nm, 64), dtype=np.int32)
+        for s in st.chain_states:
+            cmask[0, s] = 1
+        for gi, g in enumerate(st.fixed_groups):
+            for s in g.states:
+                cmask[gi + 1, s] = 1
+        self.arrays["cmask"] = cmask
+        self.n, self.S = st.n, st.S
+        n_hist = W + st.n_pad
+        kernel = make_kernel(st, n_hist)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(st.n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 7 + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # ltc_all
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # lt_T
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # sel_pack
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # lv_pack
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # v0
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # l0
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # a0
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # cmask
+            ],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.HBM)),
+            scratch_shapes=[
+                pltpu.VMEM((st.NGR, W + BLK + SLACK), jnp.float32),  # GS
+                pltpu.VMEM((st.NMS, W + BLK + SLACK), jnp.int32),    # MS
+                pltpu.VMEM((BLK, 128), jnp.float32),             # SPS
+                pltpu.VMEM((BLK, 128), jnp.float32),             # SPG
+                pltpu.VMEM((BLK, 128), jnp.float32),             # SPH
+                pltpu.VMEM((BLK, 128), jnp.int32),               # IPC
+                pltpu.VMEM((BLK, 128), jnp.int32),               # IPM
+                pltpu.VMEM((BLK, 128), jnp.int32),               # BPS
+                pltpu.VMEM((BLK, 128), jnp.float32),             # VDBG
+                pltpu.VMEM((W + BLK, 64), jnp.float32),          # PM
+                pltpu.VMEM((W + BLK, 64), jnp.int32),            # PMA
+                pltpu.VMEM((64, W + BLK + SLACK), jnp.float32),      # LM
+                pltpu.VMEM((8, n_hist), jnp.float32),            # PHL
+                pltpu.VMEM((8, n_hist), jnp.int32),              # PHLA
+                pltpu.VMEM((1, 64), jnp.float32),                # VC
+                pltpu.SemaphoreType.DMA((9,)),
+            ],
+        )
+        self._call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((st.n_pad, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((1, 64), jnp.float32),
+                       jax.ShapeDtypeStruct((st.n_pad, 128), jnp.float32)),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+        self._jit = jax.jit(self._run_jit)
+
+    def _run_jit(self, a):
+        return self._call(
+            a["cls_blk"], a["sp_state"], a["sp_geo"], a["sp_convH"],
+            a["ip_conv"], a["ip_misc"], a["gcum_hbm"], a["msk_hbm"],
+            a["ltc_all"], a["lt_T"], a["sel_pack"], a["lv_pack"],
+            a["v0"], a["l0"], a["a0"], a["cmask"])
+
+    def run(self) -> None:
+        a = {k: jnp.asarray(v) for k, v in self.arrays.items()}
+        bps, vfin, vdbg = self._jit(a)
+        self.backptr = np.asarray(bps)[: self.n]
+        self.v_debug = np.asarray(vdbg)[: self.n]
+        vf = np.full(self.tracks.S, F32_NEG, dtype=np.float32)
+        vf[: self.S] = np.asarray(vfin)[0, : self.S]
+        self.v_final = vf
+
+    def traceback(self):
+        """Mirror ScanEngine.traceback (kernel bp row j == scan bps[j-1])."""
+        tr = self.tracks
+        n = self.n
+        last = self.v_final + np.asarray(tr.log_term)
+        state = int(np.argmax(last))
+        if last[state] <= float(F32_NEG) / 2:
+            raise RuntimeError("No feasible path found in HMM (pallas)")
+        segs = []
+        base = n - 1
+        types = tr.gold.sg.state_types
+        while base > 0:
+            packed = int(self.backptr[base, state])
+            pred = packed >> 20
+            off = packed & 0xFFFFF
+            pb = base - off
+            segs.append((pb + 1, base, types[state]))
+            base, state = pb, pred
+        segs.reverse()
+        return segs

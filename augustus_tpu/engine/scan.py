@@ -276,7 +276,7 @@ def split_tracks(tr: DPTracks):
     return static, arrays
 
 
-def make_scan_fn(st: ScanStatic):
+def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
     """Build the pure scan function fn(arrays, v0) -> (v_final, backptrs).
 
     Per step, exactly one dynamic window slice is taken from each large
@@ -478,6 +478,8 @@ def make_scan_fn(st: ScanStatic):
                 lanes, lane_valj[:, None], (0, j + PAD))
             lane_arg = jax.lax.dynamic_update_slice(
                 lane_arg, lane_argj[:, None], (0, j + PAD))
+            if debug_vals:
+                return (vals, lanes, lane_arg), (bps, vals)
             return (vals, lanes, lane_arg), bps
 
         lanes0 = jnp.full((NL, n + PAD + END_PAD), NEG, dtype=jnp.float32)

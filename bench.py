@@ -1,8 +1,8 @@
 """Benchmark: semi-Markov Viterbi decode throughput (Mb/s) on device.
 
 Decodes a real genomic chunk (C. elegans chrI from the reference examples)
-with the human model (UTR off, no hints) using the device scan engine and
-reports warm-run throughput as ONE JSON line.
+with the human model (UTR off, no hints) using the Pallas DP kernel
+(engine/pallas_scan.py) and reports warm-run throughput as ONE JSON line.
 
 Baseline: the reference AUGUSTUS 3.5.0 C++ binary, same input/model/flags,
 measured on this machine's CPU: 200 kb in 2.43 s = 0.082 Mb/s single-core
@@ -30,7 +30,7 @@ def main() -> int:
     from augustus_tpu.predict import Model
     from augustus_tpu.engine.gold import GoldEngine
     from augustus_tpu.engine.device import build_tracks
-    from augustus_tpu.engine.scan import split_tracks, make_scan_fn
+    from augustus_tpu.engine.pallas_scan import PallasEngine
     from augustus_tpu.io.fasta import read_fasta
 
     model = Model.load({"species": "human", "AUGUSTUS_CONFIG_PATH": CONFIG,
@@ -49,23 +49,19 @@ def main() -> int:
     t0 = time.time()
     eng.prepare(codes)
     tracks = build_tracks(eng)
-    static, arrays = split_tracks(tracks)
+    pe = PallasEngine(tracks)
     prep_s = time.time() - t0
 
-    fn = jax.jit(make_scan_fn(static))
-    dev_arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
-    v0 = jnp.asarray(tracks.log_init)
-
     t0 = time.time()
-    vfin, bps = fn(dev_arrays, v0)
-    _ = np.asarray(vfin)
+    pe.run()
     compile_s = time.time() - t0
 
+    dev = {k: jnp.asarray(v) for k, v in pe.arrays.items()}
     times = []
     for _ in range(3):
         t0 = time.time()
-        vfin, bps = fn(dev_arrays, v0)
-        _ = np.asarray(vfin)
+        out = pe._jit(dev)
+        jax.block_until_ready(out)
         times.append(time.time() - t0)
     dt = min(times)
     mbps = n / dt / 1e6
