@@ -36,12 +36,18 @@ from . import tracks as T
 
 F32_NEG = np.float32(-1.0e30)
 LOG4 = float(np.log(4.0))
+END_PAD = 64     # right padding of windowed arrays (shared with scan.py)
 
 # fast-path cap on the banded exon convolution window: exons longer than this
 # are not found by the device engines (the explicit length distribution ends
 # at exonLenD=3000 for human; beyond it only a tiny geometric tail remains).
 # The gold engine has no cap.  Chosen 0 mod 8 + small margins for tiling.
 CONV_CAP = 3040
+
+
+class UnsupportedByDevice(Exception):
+    """Raised when a configuration needs machinery the device engines do
+    not (yet) implement; callers fall back to the gold engine."""
 
 
 def _f32(x) -> np.ndarray:
@@ -74,12 +80,18 @@ class ConvVariant:
       + lenvec[len - len_lo]
     where lane(len) is the plain lane for no-frame-check states, or the
     frame-matched lane for internal/terminal-type states.
+
+    vb_lo/vb_hi optionally restrict the ABSOLUTE begin position b (used by
+    UTR states whose length distribution switches on the sign of b —
+    reference utrmodel.cc notEndPartEmiProb rutr3single branch).
     """
     g_id: int
     h_id: int
     len_lo: int
     len_hi: int
     lenvec: np.ndarray            # (len_hi - len_lo + 1,) f32, len-ascending
+    vb_lo: Optional[int] = None
+    vb_hi: Optional[int] = None
 
 
 @dataclass
@@ -143,6 +155,7 @@ class DPTracks:
     S: int
     n_classes: int
     n_lanes: int
+    gpad: int
     stairs: np.ndarray
     log_trans: np.ndarray          # (C, S, S) f32
     log_init: np.ndarray
@@ -191,7 +204,42 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
         lane_tgt.append(target)
         return len(lane_rows) - 1
 
-    tr = DPTracks(n=n, S=S, n_classes=C, n_lanes=0,
+    # hint folds (stage 1): per-position separable hint terms are baked
+    # into the emission tracks at build time (reference folds them into the
+    # DP lazily — igenicmodel.cc:318, intronmodel emiProbUnderModel,
+    # exonmodel.cc:1294-1311).  Non-separable exon/CDS hint quotients are
+    # handled by the sparse machinery below (see HintCorr).
+    hints_on = getattr(eng, "hints", None) is not None
+    if hints_on:
+        eng._device_sparse_hints = any(
+            eng.hints.by_type[t]
+            for t in ("exonpart", "CDSpart", "exon", "CDS"))
+        if eng._device_sparse_hints:
+            raise UnsupportedByDevice(
+                "exon/CDS(part) hints need the sparse hint machinery")
+        ipb_p, ipb_m = eng.ipb_plus, eng.ipb_minus
+        ipc_p, ipc_m = eng.ipb_plus_cum, eng.ipb_minus_cum
+        lm = eng.log_malus
+    else:
+        ipb_p = ipb_m = np.zeros(n)
+        ipc_p = ipc_m = np.zeros(n + 1)
+        lm = {}
+
+    # superwindow back-extent: must cover the longest banded variant.
+    # UTR architectures extend it (3' single UTRs up to max3singlelength,
+    # reference utrmodel.cc:119 / config /UtrModel/max3singlelength).
+    gpad = CONV_CAP + 96
+    has_utr = any(mc == "utrmodel" for mc in sg.model_class)
+    if has_utr:
+        uc = eng.utr_cfg
+        need = max(
+            uc.max_exon_length + cn.dss_whole_size + cn.ass_upwindow_size
+            + cn.ass_whole_size + cn.tss_upwindow_size,
+            uc.max3single,
+            uc.max3term + cn.ass_whole_size + cn.ass_upwindow_size)
+        gpad = max(gpad, ((need + 96 + 127) // 128) * 128)
+
+    tr = DPTracks(n=n, S=S, n_classes=C, n_lanes=0, gpad=gpad,
                   stairs=eng.stairs.astype(np.int32),
                   log_trans=np.stack([_f32(lt) for lt in eng.log_trans]),
                   log_init=_f32(eng.log_init), log_term=_f32(eng.log_term),
@@ -227,8 +275,11 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                 [_f32(eng.ig_track[c]) for c in range(C)])))
         elif t in (ST.geometric0, ST.geometric1, ST.geometric2,
                    ST.rgeometric0, ST.rgeometric1, ST.rgeometric2):
+            # intronpart/nonexonpart hint bonus per base (gold._chain_cands)
+            ipb = ipb_p if t in (ST.geometric0, ST.geometric1,
+                                 ST.geometric2) else ipb_m
             tr.chain.append(ChainState(s, np.stack(
-                [_f32(eng.intron_f[c]) for c in range(C)])))
+                [_f32(eng.intron_f[c] + ipb) for c in range(C)])))
         elif t in (ST.longdss0, ST.longdss1, ST.longdss2,
                    ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
             fwd = t in (ST.longdss0, ST.longdss1, ST.longdss2)
@@ -243,6 +294,18 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                 gate = T.is_possible_rdss(sp.rdss_ok, j - cn.dss_start)
             sel = (start >= 0) & gate
             emi[sel] = src[start[sel]]
+            if hints_on:
+                # intronic sub-range of the dss window
+                # (gold._fixed_intron_cands hint branch)
+                smc = ipc_p if fwd else ipc_m
+                eop = j - cn.dss_whole_size
+                if fwd:
+                    seg = smc[j + 1] - smc[np.clip(
+                        j - DSS_MIDDLE - cn.dss_end + 1, 0, n)]
+                else:
+                    seg = smc[np.clip(j - cn.dss_start + 1, 0, n)] - \
+                        smc[np.clip(eop + 1, 0, n)]
+                emi = np.where(emi > NEG_INF, emi + seg, emi)
             lane = new_lane(s, anc)
             tr.fixed.append(FixedState(s, cn.dss_whole_size, 0, lane,
                                        np.broadcast_to(_f32(emi),
@@ -259,12 +322,23 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                 gate = T.is_possible_rass(
                     sp.rass_ok,
                     j - cn.ass_upwindow_size - cn.ass_start - ASS_MIDDLE + 1)
+            if hints_on:
+                smc = ipc_p if fwd else ipc_m
+                eop = j - jump
+                if fwd:
+                    seg = smc[np.clip(j - cn.ass_end + 1, 0, n)] - \
+                        smc[np.clip(eop + 1, 0, n)]
+                else:
+                    seg = smc[j + 1] - smc[np.clip(eop + 1 + cn.ass_end,
+                                                   0, n)]
             per_c = []
             for c in range(C):
                 emi = np.full(n, NEG_INF)
                 src = sp.ass_score[c] if fwd else sp.rass_score[c]
                 sel = (start >= 0) & gate
                 emi[sel] = src[start[sel]]
+                if hints_on:
+                    emi = np.where(emi > NEG_INF, emi + seg, emi)
                 per_c.append(_f32(emi))
             nongeo = [p for p in anc if types[p] not in (
                 ST.geometric0, ST.geometric1, ST.geometric2,
@@ -276,12 +350,24 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             tr.fixed.append(FixedState(s, jump, 2, laneA, np.stack(per_c)))
         elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
                    ST.requalD0, ST.requalD1, ST.requalD2):
+            hint_seg = 0.0
+            if hints_on:
+                # gold._fixed_intron_cands: equalD uses the plus cums,
+                # requalD the minus cums; + the intron malus
+                smc = ipc_p if t in (ST.equalD0, ST.equalD1,
+                                     ST.equalD2) else ipc_m
+                jj = np.arange(dsl, n)
+                hint_seg = np.zeros(n)
+                hint_seg[jj] = smc[jj + 1] - smc[jj - dsl + 1] + \
+                    lm["intron"]
             per_c = []
             for c in range(C):
                 cum = eng.cum_intron_f[c]    # requalD also fwd (quirk)
                 emi = np.full(n, NEG_INF)
                 j = np.arange(dsl, n)
                 emi[j] = cum[j + 1] - cum[j - dsl + 1]
+                if hints_on:
+                    emi = np.where(emi > NEG_INF, emi + hint_seg, emi)
                 per_c.append(_f32(emi))
             dss = anc[0]
             if dss not in bare_dss_lane:
@@ -297,6 +383,19 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
         elif t in (ST.rterminal0, ST.rterminal1, ST.rterminal2, ST.rsingleG):
             lane = new_lane(s, anc)
             tr.exon_pinned.append(_build_pinned(eng, s, t, lane))
+        elif sg.model_class[s] == "utrmodel":
+            from .gold_utr import UTR_CHAIN, UTR_VAR
+            if t in UTR_CHAIN:
+                # strand-independent fwd patterns, no intronpart bonus
+                # (gold_utr.utr_cands UTR_CHAIN branch)
+                tr.chain.append(ChainState(s, np.stack(
+                    [_f32(eng.intron_f_nb[c]) for c in range(C)])))
+            elif t in UTR_VAR:
+                pass   # hints-only intronvar states are inert (gold_utr)
+            else:
+                lane = new_lane(s, anc)
+                tr.exon_conv.append(
+                    _build_utr_conv(eng, s, t, lane, pool, gpad))
         elif sg.model_class[s] == "exonmodel":
             fwd = (ST.singleG <= t <= ST.terminal)
             frame_mode = 0
@@ -337,9 +436,18 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
     sp = eng.splice
     fwd = t in (ST.lessD0, ST.lessD1, ST.lessD2)
     C = len(eng.inp.gc)
-    cum_key = "cum_intron_f" if fwd else "cum_intron_r"
+    hints_on = getattr(eng, "hints", None) is not None
+    # intronpart bonus cums fold into the content cums; the intron malus
+    # folds into the length vector (gold._lessd_cands hint branch)
+    ipbc = 0.0
+    lm_intron = 0.0
+    if hints_on:
+        ipbc = eng.ipb_plus_cum if fwd else eng.ipb_minus_cum
+        lm_intron = eng.log_malus["intron"]
+    cum_key = ("cum_intron_f" if fwd else "cum_intron_r") + \
+        ("_h" if hints_on else "")
     cum_id = pool.add(cum_key, lambda: np.stack(
-        [_f32(eng.cum_intron_f[c] if fwd else eng.cum_intron_r[c])
+        [_f32((eng.cum_intron_f[c] if fwd else eng.cum_intron_r[c]) + ipbc)
          for c in range(C)]))
 
     eops = np.arange(n)
@@ -426,7 +534,7 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
     for w in range(dsl):
         ln = w + 1 + len_add
         if 0 <= ln <= eng.inp.d:
-            lv[w] = eng.log_len_intron[ln]
+            lv[w] = eng.log_len_intron[ln] + lm_intron
     return LessDState(state=s, lane=lane, window=dsl, cum_id=cum_id,
                       lenvec=_f32(lv), b_valid=b_valid, b_stopflag=b_stop,
                       j_gate=j_gate, j_stopsel=j_sel)
@@ -460,6 +568,11 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int
         gate = (j == n - 1) | ((j + cn.ass_end + ASS_MIDDLE < n) &
                                T.is_possible_rass(eng.splice.rass_ok, asspos))
         end = np.where(gate, 0.0, NEG_INF)
+        if getattr(eng, "hints", None) is not None:
+            ok = (asspos >= 0) & (asspos < n)
+            padj = np.where(ok, eng.ass_site_adj_m[np.clip(asspos, 0, n - 1)],
+                            eng.log_malus["ass"])
+            end = np.where(end > NEG_INF, end + padj, end)
         ends = [end for _ in range(C)]
 
     end_any = np.maximum.reduce(ends) > NEG_INF
@@ -530,6 +643,14 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     right = j + ro
     phi_j = (phase_const + phase_sign * j) % 3             # (n,)
 
+    hints_on = getattr(eng, "hints", None) is not None
+    lm = eng.log_malus if hints_on else {}
+
+    def _site_adj(track, pos, oob):
+        """track[pos] where pos in range else oob (site hint fades/malus)."""
+        ok = (pos >= 0) & (pos < n)
+        return np.where(ok, track[np.clip(pos, 0, n - 1)], oob)
+
     cums = {name: [eng.cum_exon[(c, name, fwd)] for c in range(C)]
             for name in ("emi", "init", "et")}
 
@@ -556,10 +677,17 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
                                     ~T.is_possible_ass(sp.ass_ok, bob - 1))
             bt = np.where(b > 0, np.where(shortcut, NEG_INF, 0.0),
                           np.where(b == 0, 0.0, NEG_INF))
+            if hints_on:
+                padj = _site_adj(eng.ass_site_adj_p, bob - 1, lm["ass"])
+                bt = np.where((b > 0) & (bt > NEG_INF), bt + padj, bt)
         else:   # rinitial, rinternal*
             blocked = (bob < 0) | ((bob - DSS_MIDDLE > 0) &
                                    ~T.is_possible_rdss(sp.rdss_ok, bob - 1))
             bt = np.where(b == 0, 0.0, np.where(blocked, NEG_INF, 0.0))
+            if hints_on:
+                # malus only when beginOfBioExon > 0 (exonmodel.cc:1534)
+                padj = _site_adj(eng.dss_site_adj_m, bob - 1, 0.0)
+                bt = np.where((b != 0) & (bt > NEG_INF), bt + padj, bt)
         begin_list.append(bt)
     begin_arr = np.stack(begin_list)                       # (C, n)
     begin_key = {
@@ -590,6 +718,9 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
                                             jj + cn.dss_start, True, cn, n)
             if lmb < jj:
                 gate[jj] = 0.0
+        if hints_on:
+            padj = _site_adj(eng.dss_site_adj_p, dsspos, lm["dss"])
+            gate = np.where(gate > NEG_INF, gate + padj, gate)
         for c in range(C):
             end_part[c] = gate
     else:   # rinternal*
@@ -599,8 +730,22 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         mid = (j < n - 1) & (j + cn.ass_end + ASS_MIDDLE < n) & \
             T.is_possible_rass(sp.rass_ok, asspos)
         gate[mid] = 0.0
+        if hints_on:
+            padj = _site_adj(eng.ass_site_adj_m, asspos, lm["ass"])
+            gate = np.where(gate > NEG_INF, gate + padj, gate)
         for c in range(C):
             end_part[c] = gate
+    # separable part of the exonpart/CDS hint quotient
+    # (gold._exon_part_quot with no exonpart/CDSpart/exon/CDS hints):
+    # exon_len*(malus_ep + malus_cp) + malus_exon + malus_CDS.  The linear
+    # term folds into the length vectors, the constants into endPart.
+    # With such hints present the sparse HintCorr machinery replaces this.
+    lm_lin = 0.0
+    if hints_on and not getattr(eng, "_device_sparse_hints", False):
+        end_part = np.where(end_part > NEG_INF,
+                            end_part + lm["exon"] + lm["CDS"], end_part)
+        lm_lin = lm["exonpart"] + lm["CDSpart"]
+
     end_gate = (end_part > NEG_INF).any(axis=0)
 
     # ---------------- length distribution -------------------------------
@@ -631,7 +776,8 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         len_hi = min(len_hi, maxlen, CONV_CAP)
         if len_lo > len_hi:
             return
-        lv = ld[len_lo: len_hi + 1]
+        lv = ld[len_lo: len_hi + 1] + \
+            np.arange(len_lo, len_hi + 1) * lm_lin
         variants.append(ConvVariant(g_id=gid, h_id=hid, len_lo=len_lo,
                                     len_hi=len_hi, lenvec=_f32(lv)))
 

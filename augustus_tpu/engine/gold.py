@@ -299,6 +299,19 @@ class GoldEngine:
                                     "CDSpart", "UTR", "UTRpart", "tss",
                                     "tts")}
 
+        # local (part) malus coverage tables (reference
+        # SequenceFeatureCollection::prepareLocalMalus,
+        # extrinsicinfo.cc:1749-1818): cumulative count of bases NOT
+        # covered by any CDSpart-or-exonpart hint, per strand.
+        self.log_local_malus_cp = float(LOG(cfg.info("CDSpart").local_malus))
+        for strand, attr in (("+", "cumcov_cp_plus"),
+                             ("-", "cumcov_cp_minus")):
+            cov = np.zeros(n, dtype=bool)
+            for f in h.by_type["CDSpart"] + h.by_type["exonpart"]:
+                if f.strand in (strand, "."):
+                    cov[max(f.start, 0): f.end + 1] = True
+            setattr(self, attr, np.cumsum(~cov).astype(np.int64))
+
     # ------------------------------------------------------------------
     def _igenic_track(self, codes: np.ndarray, c: int) -> np.ndarray:
         """Per-base igenic log emission (reference igenicmodel.cc:299):
@@ -1079,8 +1092,19 @@ class GoldEngine:
                     quot += np.where(match, 0.5 * LOGB, 0.0)
                     exon_support |= match
         quot += part_bonus
-        # TODO: local part malus for unevenly supported CDS (nep >= 5)
-        # requires cfg local maluses != 1 (reference exonmodel.cc:1838)
+        # local part malus for unevenly supported CDS (nep >= 5): multiply
+        # localMalus^zeroCov, clamped to at least 1/partBonus (reference
+        # exonmodel.cc:1838-1848, extrinsicinfo.cc:1912,2371)
+        lm5 = nep >= 5
+        if lm5.any():
+            ccov = self.cumcov_cp_plus if fwd else self.cumcov_cp_minus
+            n = self.n
+            e_c = np.clip(ebx, 0, n - 1)
+            zc = ccov[e_c] - np.where(bob > 0,
+                                      ccov[np.clip(bob - 1, 0, n - 1)], 0)
+            lpm = np.where(zc > 0, zc * self.log_local_malus_cp, 0.0)
+            lpm = np.maximum(lpm, -part_bonus)
+            quot += np.where(lm5, lpm, 0.0)
         ln_ep = exon_len - num_ep
         ln_cp = exon_len - num_cp
         quot += np.where(ln_ep > 0, ln_ep * lm["exonpart"], 0.0)
