@@ -14,4 +14,14 @@ hidden semi-Markov model gene finder) for TPU hardware:
     mesh instead of cluster job lists (reference: scripts/createAugustusJoblist.pl).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the scan kernels take tens of seconds
+# to compile; cache them across CLI invocations (JAX skips entries
+# transparently when the program or platform changes).
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "augustus_tpu", "xla")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")

@@ -51,22 +51,39 @@ class UnsupportedByDevice(Exception):
 
 
 def _f32(x) -> np.ndarray:
+    """Sanitize -inf/nan to F32_NEG.  Kept in float64: the final float32
+    conversion happens in _finalize_tracks AFTER the baseline rebase, so
+    large-magnitude path scores are rounded only once, near zero."""
     y = np.asarray(x, dtype=np.float64).copy()
     y[~np.isfinite(y)] = float(F32_NEG)
+    return np.clip(y, float(F32_NEG), None)
+
+
+def _c32(x) -> np.ndarray:
+    y = np.asarray(x, dtype=np.float64)
+    y = np.where(np.isfinite(y), y, float(F32_NEG))
     return np.clip(y, float(F32_NEG), None).astype(np.float32)
 
 
 class Pool:
-    """Deduplicated array pool; variants reference arrays by index."""
+    """Deduplicated array pool; variants reference arrays by index.
+
+    rb tags how the array participates in the baseline rebase
+    (_finalize_tracks): ("G", shift) adds base[b - shift] along the last
+    (begin-position) axis, ("H",) subtracts base[j], ("cum", ) subtracts
+    base[p - 1] (cumulative arrays indexed by position+1), None untouched.
+    """
 
     def __init__(self):
         self.arrays: List[np.ndarray] = []
+        self.rb: List[Optional[tuple]] = []
         self._keys: Dict[str, int] = {}
 
-    def add(self, key: str, builder) -> int:
+    def add(self, key: str, builder, rb: Optional[tuple] = None) -> int:
         if key not in self._keys:
             self._keys[key] = len(self.arrays)
             self.arrays.append(builder())
+            self.rb.append(rb)
         return self._keys[key]
 
 
@@ -109,6 +126,14 @@ class ExonConvState:
     start_min: np.ndarray         # (n,) int32
     start_max: np.ndarray         # (n,) int32
     variants: List[ConvVariant] = field(default_factory=list)
+    # sparse exon-hint metadata (None when inactive; see HintTables)
+    hint_strand: Optional[str] = None      # '+' or '-'
+    hint_ipo: int = 0             # bob = b - ipo
+    hint_bo: int = 0              # ebx = j + bo
+    hint_aL: bool = False         # left-anchored exon type
+    hint_aR: bool = False         # right-anchored
+    hint_exclass: int = 0         # 0 single, 1 internal, 2 term/rinit,
+    #                               3 initial/rterm (exon-hint match rule)
 
 
 @dataclass
@@ -167,6 +192,9 @@ class DPTracks:
     log_geo_ass: np.ndarray        # (C, 3fr+3rev...) actually (C, S) f32:
     #                                log trans[geometric_f -> longass_f] by
     #                                TARGET state index, -inf elsewhere
+    base: np.ndarray = None        # rebase potential (see _finalize_tracks)
+    hint_tables: Optional[Dict] = None     # strand -> HintTables (sparse)
+    hint_lm: Optional[Dict] = None         # log maluses for the sparse path
     pool: List[np.ndarray] = field(default_factory=list)
     chain: List[ChainState] = field(default_factory=list)
     fixed: List[FixedState] = field(default_factory=list)
@@ -212,11 +240,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
     hints_on = getattr(eng, "hints", None) is not None
     if hints_on:
         eng._device_sparse_hints = any(
-            eng.hints.by_type[t]
-            for t in ("exonpart", "CDSpart", "exon", "CDS"))
-        if eng._device_sparse_hints:
-            raise UnsupportedByDevice(
-                "exon/CDS(part) hints need the sparse hint machinery")
+            eng.hints.by_type[t] for t in EXON_HINT_KINDS)
         ipb_p, ipb_m = eng.ipb_plus, eng.ipb_minus
         ipc_p, ipc_m = eng.ipb_plus_cum, eng.ipb_minus_cum
         lm = eng.log_malus
@@ -250,13 +274,18 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                                   for g in eng.inp.gc]),
                   log_geo_ass=None, gold=eng)
 
-    # geometric -> longass class-dependent transition, by TARGET state
+    # geometric -> splice-exit class-dependent transition, by TARGET state.
+    # Geometric rows are renormalized per GC class (IntronModel::
+    # updateToLocalGC); on the forward strand the geometric intron exits
+    # into longass, on the reverse strand into rlongdss (mirrored order).
     geo_ass = np.full((C, S), NEG_INF)
     for c in range(C):
         ltc = eng.log_trans[c]
         for s, t in enumerate(types):
             if t in (ST.longass0, ST.longass1, ST.longass2,
-                     ST.rlongass0, ST.rlongass1, ST.rlongass2):
+                     ST.rlongass0, ST.rlongass1, ST.rlongass2,
+                     ST.longdss0, ST.longdss1, ST.longdss2,
+                     ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
                 geo = [p for p in range(S) if types[p] in (
                     ST.geometric0, ST.geometric1, ST.geometric2,
                     ST.rgeometric0, ST.rgeometric1, ST.rgeometric2)
@@ -306,10 +335,24 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                     seg = smc[np.clip(j - cn.dss_start + 1, 0, n)] - \
                         smc[np.clip(eop + 1, 0, n)]
                 emi = np.where(emi > NEG_INF, emi + seg, emi)
-            lane = new_lane(s, anc)
-            tr.fixed.append(FixedState(s, cn.dss_whole_size, 0, lane,
-                                       np.broadcast_to(_f32(emi),
-                                                       (C, n)).copy()))
+            # reverse-strand longdss states are entered from rgeometric
+            # (mirrored intron order) whose row is class-renormalized:
+            # split ancestors like longass (kind 2)
+            nongeo = [p for p in anc if types[p] not in (
+                ST.geometric0, ST.geometric1, ST.geometric2,
+                ST.rgeometric0, ST.rgeometric1, ST.rgeometric2)]
+            geo = [p for p in anc if p not in nongeo]
+            emi_all = np.broadcast_to(_f32(emi), (C, n)).copy()
+            if geo:
+                laneA = new_lane(s, nongeo)
+                laneB = new_lane(s, geo, bare=True)
+                assert laneB == laneA + 1
+                tr.fixed.append(FixedState(s, cn.dss_whole_size, 2, laneA,
+                                           emi_all))
+            else:
+                lane = new_lane(s, anc)
+                tr.fixed.append(FixedState(s, cn.dss_whole_size, 0, lane,
+                                           emi_all))
         elif t in (ST.longass0, ST.longass1, ST.longass2,
                    ST.rlongass0, ST.rlongass1, ST.rlongass2):
             fwd = t in (ST.longass0, ST.longass1, ST.longass2)
@@ -422,10 +465,90 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
 
     NL = len(lane_rows)
     tr.n_lanes = NL
-    tr.lane_trans = np.stack(lane_rows)
+    tr.lane_trans = np.stack(lane_rows).astype(np.float32)
     tr.lane_target = np.array(lane_tgt, dtype=np.int32)
-    tr.pool = pool.arrays
+    if hints_on and getattr(eng, "_device_sparse_hints", False):
+        tr.hint_tables = _build_hint_tables(eng, gpad)
+        tr.hint_lm = {k: float(lm[k])
+                      for k in ("exonpart", "CDSpart", "exon", "CDS")}
+        tr.hint_lm["local_cp"] = float(eng.log_local_malus_cp)
+    _finalize_tracks(tr, eng, pool)
     return tr
+
+
+def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
+    """Baseline rebase + float32 conversion.
+
+    Viterbi scores grow like O(n) while float32 keeps ~7 digits, so at
+    megabase scale raw f32 DP values carry O(0.1+) rounding noise and
+    near-tie path decisions diverge from the float64 gold engine.  Rebase
+    every accumulated quantity by the igenic cumulative log-emission
+    base(j) (a per-position potential; argmax-invariant): stored DP values
+    become deviations from the igenic path — exactly 0 through intergenic
+    stretches — so f32 rounding stays at the ulp of the local deviation.
+    base[p <= 0] = 0, so the synch/init boundary region is unaffected.
+    """
+    n = tr.n
+    stairs = tr.stairs.astype(np.int64)
+    igj = np.array([eng.ig_track[int(stairs[j])][j] for j in range(n)])
+    base = np.zeros(n)
+    if n > 1:
+        base[1:] = np.cumsum(igj[1:])
+    tr.base = base
+
+    def base_at(idx):
+        idx = np.asarray(idx)
+        return np.where(idx < 0, 0.0, base[np.clip(idx, 0, n - 1)])
+
+    pos = np.arange(n)
+    dbase = np.zeros(n)
+    dbase[1:] = base[1:] - base[:-1]
+    for cs in tr.chain:
+        cs.emi = _c32(cs.emi - dbase[None, :])
+    for fs in tr.fixed:
+        adj = base_at(pos - fs.jump) - base
+        fs.emi = _c32(np.where(fs.emi > float(F32_NEG) / 2,
+                               fs.emi + adj[None, :], fs.emi))
+    for ps in tr.exon_pinned:
+        adj = base_at(ps.eop) - base
+        ps.score = _c32(np.where(ps.score > float(F32_NEG) / 2,
+                                 ps.score + adj[None, :], ps.score))
+    for ls in tr.lessd:
+        ls.lenvec = _c32(ls.lenvec)
+    for ecs in tr.exon_conv:
+        for var in ecs.variants:
+            var.lenvec = _c32(var.lenvec)
+
+    out = []
+    for arr, rb in zip(pool.arrays, pool.rb):
+        a = np.asarray(arr, dtype=np.float64)
+        if rb is None:
+            out.append(_c32(a))
+            continue
+        kind = rb[0]
+        if kind == "H":
+            adj = -base
+            a = np.where(a > float(F32_NEG) / 2, a + adj[None, :], a)
+        elif kind == "G":
+            shift = rb[1]
+            nb = a.shape[-1]
+            if nb == n:                      # plain begin domain [0, n)
+                bidx = np.arange(n) - shift
+            else:                            # extended [-gpad, n+END_PAD)
+                bidx = np.arange(nb) - tr.gpad - shift
+            adj = base_at(bidx)
+            a = np.where(a > float(F32_NEG) / 2, a + adj, a)
+        elif kind == "cum":                  # (C, n+1), index p = pos+1
+            adj = -base_at(np.arange(a.shape[-1]) - 1)
+            a = a + adj
+        out.append(_c32(a))
+    tr.pool = out
+    tr.log_trans = np.asarray(tr.log_trans, dtype=np.float32)
+    tr.log_init = _c32(tr.log_init)
+    tr.log_term = _c32(tr.log_term)
+    tr.log_psi = _c32(tr.log_psi)
+    tr.log_1mpsi = _c32(tr.log_1mpsi)
+    tr.log_geo_ass = _c32(tr.log_geo_ass)
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +571,7 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
         ("_h" if hints_on else "")
     cum_id = pool.add(cum_key, lambda: np.stack(
         [_f32((eng.cum_intron_f[c] if fwd else eng.cum_intron_r[c]) + ipbc)
-         for c in range(C)]))
+         for c in range(C)]), rb=("cum",))
 
     eops = np.arange(n)
     begins = eops + 1
@@ -529,10 +652,10 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
                    + cn.dss_end + DSS_MIDDLE + 1)
     else:
         len_add = cn.dss_end + DSS_MIDDLE + cn.ass_outside + 1
-    # lenvec[w] for eop = j-1-w: length = w + 1 + len_add
+    # lenvec[w] for eop = j-1-w (so w = j - begins): length = w + len_add
     lv = np.full(dsl, NEG_INF)
     for w in range(dsl):
-        ln = w + 1 + len_add
+        ln = w + len_add
         if 0 <= ln <= eng.inp.d:
             lv[w] = eng.log_len_intron[ln] + lm_intron
     return LessDState(state=s, lane=lane, window=dsl, cum_id=cum_id,
@@ -835,12 +958,13 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             per_c.append(track + end_part[c])
         return _f32(np.stack(per_c))
 
+    rbG = ("G", g.begin_part_len + 1)
     gid_begin = pool.add(f"G_begin_{begin_key}",
-                         lambda: _f32(begin_arr[:, None, :]))
+                         lambda: _f32(begin_arr[:, None, :]), rb=rbG)
     gid_over = pool.add(f"G_over_{begin_key}", lambda: _f32(
-        begin_arr[:, None, :] + (b * LOG4)[None, None, :]))
+        begin_arr[:, None, :] + (b * LOG4)[None, None, :]), rb=rbG)
     hid_over = pool.add(f"H_over_{ro}_{state_tag}", lambda: _f32(
-        end_part + (-(right + 1) * LOG4)[None, :]))
+        end_part + (-(right + 1) * LOG4)[None, :]), rb=("H",))
 
     if fwd:
         initpat_id = pool.add("initpat_fwd", lambda: _f32(
@@ -851,14 +975,14 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             gid_main = pool.add(f"G_fwd_ini_{begin_key}", lambda: _f32(
                 initpat.astype(np.float64) + catb("init", b + k + initL)
                 - catb("init", b + k) - catb("emi", b + k + initL)
-                + begin_arr[:, None, :]))
+                + begin_arr[:, None, :]), rb=rbG)
             gid_ti = pool.add(f"G_fwd_initrunc_{begin_key}", lambda: _f32(
                 initpat.astype(np.float64) - catb("init", b + k)
-                + begin_arr[:, None, :]))
+                + begin_arr[:, None, :]), rb=rbG)
         else:
             gid_main = pool.add(f"G_fwd_int_{begin_key}", lambda: _f32(
                 initpat.astype(np.float64) - catb("emi", b + k)
-                + begin_arr[:, None, :]))
+                + begin_arr[:, None, :]), rb=rbG)
             gid_ti = None
 
         def h_et():
@@ -873,9 +997,9 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             return _f32(catj("init", right + 1) + end_part)
 
         if t in (ST.initial0, ST.initial1, ST.initial2):
-            hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et)
-            hid_noet = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
-            hid_initr = pool.add(f"H_fwd_i_{ro}_{state_tag}", h_i)
+            hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et, rb=("H",))
+            hid_noet = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e, rb=("H",))
+            hid_initr = pool.add(f"H_fwd_i_{ro}_{state_tag}", h_i, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)
             add_variant(gid_ti, hid_initr, k + 1, k + initL - 2)
             add_variant(gid_main, hid_noet, k + initL - 1,
@@ -883,19 +1007,19 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             add_variant(gid_main, hid_main, k + initL + etL - 1,
                         maxlen - m2len)
         elif t == ST.singleG:
-            hid_e = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
-            hid_i = pool.add(f"H_fwd_i_{ro}_{state_tag}", h_i)
+            hid_e = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e, rb=("H",))
+            hid_i = pool.add(f"H_fwd_i_{ro}_{state_tag}", h_i, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)
             add_variant(gid_ti, hid_i, k + 1, k + initL - 2)
             add_variant(gid_main, hid_e, k + initL - 1, maxlen - m2len)
         elif t in (ST.internal0, ST.internal1, ST.internal2):
-            hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et)
-            hid_noet = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
+            hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et, rb=("H",))
+            hid_noet = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)
             add_variant(gid_main, hid_noet, k + 1, k + etL - 2)
             add_variant(gid_main, hid_main, k + etL - 1, maxlen - m2len)
         else:   # terminal
-            hid_e = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e)
+            hid_e = pool.add(f"H_fwd_e_{ro}_{state_tag}", h_e, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)
             add_variant(gid_main, hid_e, k + 1, maxlen - m2len)
     else:
@@ -914,11 +1038,11 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
 
         gid_et = pool.add(f"G_rev_et_{begin_key}", lambda: _f32(
             catb("et", b + etL) - catb("et", b) - catb("emi", b + etL)
-            + begin_arr[:, None, :]))
+            + begin_arr[:, None, :]), rb=rbG)
         gid_plain = pool.add(f"G_rev_plain_{begin_key}", lambda: _f32(
-            -catb("emi", b) + begin_arr[:, None, :]))
+            -catb("emi", b) + begin_arr[:, None, :]), rb=rbG)
         gid_i2 = pool.add(f"G_rev_init2_{begin_key}", lambda: _f32(
-            -catb("init", b) + begin_arr[:, None, :]))
+            -catb("init", b) + begin_arr[:, None, :]), rb=rbG)
 
         if t == ST.rinitial:
             def h_rini():
@@ -929,8 +1053,8 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             def h_rinit2():
                 return _f32(ipb() + catj("init", binp) + end_part)
 
-            hid_main = pool.add(f"H_rini_{ro}_{state_tag}", h_rini)
-            hid_i2 = pool.add(f"H_rinit2_{ro}_{state_tag}", h_rinit2)
+            hid_main = pool.add(f"H_rini_{ro}_{state_tag}", h_rini, rb=("H",))
+            hid_i2 = pool.add(f"H_rinit2_{ro}_{state_tag}", h_rinit2, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)
             add_variant(gid_i2, hid_i2, k + 1, k + initL - 2)
             add_variant(gid_plain, hid_main, k + initL - 1,
@@ -941,7 +1065,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             def h_rint():
                 return _f32(ipb() + catj("emi", binp) + end_part)
 
-            hid_main = pool.add(f"H_rint_{ro}_{state_tag}", h_rint)
+            hid_main = pool.add(f"H_rint_{ro}_{state_tag}", h_rint, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)
             add_variant(gid_plain, hid_main, k + 1, k + etL - 2)
             add_variant(gid_et, hid_main, k + etL - 1, maxlen - m2len)
@@ -950,7 +1074,8 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         strand_tag = "f" if fwd else "r"
         frame_tag = frc if fwd else (frc + m) % 3
         hid_m = pool.add(f"H_micro_{strand_tag}_{frame_tag}_{m}_{ro}_"
-                         f"{state_tag}", lambda m=m: micro_track(m))
+                         f"{state_tag}", lambda m=m: micro_track(m),
+                         rb=("H",))
         add_variant(gid_begin, hid_m, m, m)
 
     variants.sort(key=lambda v: v.len_lo)
@@ -970,9 +1095,656 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     smax = np.minimum(smax, j + g.begin_part_len)
     smin = np.where(orf_left <= 0, 0, orf_left + g.inner_part_offset)
 
-    return ExonConvState(
+    ecs = ExonConvState(
         state=s, etype=int(t), bpl=g.begin_part_len, a_off=a_off,
         phase_const=phase_const, phase_sign=phase_sign,
         frame_mode=frame_mode, win=g.win, lane=lane,
         end_gate=end_gate, start_min=smin.astype(np.int32),
         start_max=smax.astype(np.int32), variants=variants)
+    if hints_on and getattr(eng, "_device_sparse_hints", False):
+        ecs.hint_strand = "+" if fwd else "-"
+        ecs.hint_ipo = g.inner_part_offset
+        ecs.hint_bo = g.base_offset
+        ecs.hint_aL = t in (ST.singleG, ST.initial0, ST.initial1,
+                            ST.initial2)
+        ecs.hint_aR = t in (ST.singleG, ST.terminal, ST.rinitial)
+        if t in (ST.internal0, ST.internal1, ST.internal2,
+                 ST.rinternal0, ST.rinternal1, ST.rinternal2):
+            ecs.hint_exclass = 1
+        elif t in (ST.terminal, ST.rinitial):
+            ecs.hint_exclass = 2
+        elif t == ST.singleG:
+            ecs.hint_exclass = 0
+        else:   # initial0-2 (rterminal/rsingleG are pinned, not convs)
+            ecs.hint_exclass = 3
+    return ecs
+
+
+# ---------------------------------------------------------------------------
+# UTR states as banded convolutions
+# ---------------------------------------------------------------------------
+
+def _build_utr_conv(eng, s, t, lane: int, pool: Pool, gpad: int):
+    """One UTR exon state as banded max-plus convolution variants.
+
+    Gold oracle: gold_utr.utr_cands/_not_end_part (reference
+    src/utrmodel.cc:796-1130).  With a_off = 1, len := j - b + 1.  All
+    begin-side terms (TSS/TTS/splice begin scores, -cum at the middle start
+    bm(b), begin-bound clamps) are functions of b alone and are encoded in
+    extended-domain G arrays covering b in [-gpad, n+END_PAD); all end-side
+    terms (endPart, +cum at end-of-middle, intronpart folds) are functions
+    of j (H arrays); the length distribution and the short-exon span
+    fallbacks (-span*log2/log4, utrmodel.cc notEndPartEmiProb) fold into
+    per-variant length vectors, split at the span-sign boundary.
+    """
+    from ..model.state_config import is_on_f_strand
+    cn, n = eng.cn, eng.n
+    uc = eng.utr_cfg
+    up = eng.utr
+    C = len(eng.inp.gc)
+    sp = eng.splice
+    codes = eng.codes
+    fwd = is_on_f_strand(t)
+    hints_on = getattr(eng, "hints", None) is not None
+
+    tiw = cn.trans_init_window
+    tss_up = cn.tss_upwindow_size
+    te = uc.tss_end
+    dws = cn.dss_whole_size
+    aws = cn.ass_whole_size
+    aup = cn.ass_upwindow_size
+    dend, dstart = cn.dss_end, cn.dss_start
+    aend, astart = cn.ass_end, cn.ass_start
+    boxlen = up.aataaa_boxlen
+    dpc = uc.d_polyasig_cleavage
+    mel = uc.max_exon_length
+    LOG2 = float(np.log(2.0))
+    LQ = float(np.log(0.25))
+    ld = eng.log_len_utr
+    jj = np.arange(n)
+    be = np.arange(-gpad, n + END_PAD)      # extended begin domain
+    n_ext = be.shape[0]
+
+    # ---- len band [Kh, Kl] (gold_utr._pred_range, eop in [j-Kl, j-Kh]) ---
+    if t in (ST.utr5single, ST.rutr5single):
+        Kl = mel - tiw + tss_up
+        Kh = max(tss_up + 1 - tiw, 1)
+    elif t in (ST.utr5init, ST.rutr5init):
+        Kl = mel + DSS_MIDDLE + dend + tss_up
+        Kh = tss_up + te + dws
+    elif t in (ST.utr5internal, ST.rutr5internal,
+               ST.utr3internal, ST.rutr3internal):
+        Kl = mel + DSS_MIDDLE + dend + aup + astart + ASS_MIDDLE
+        Kh = dws + aup + aws
+    elif t in (ST.utr5term, ST.rutr5term):
+        Kl = mel - tiw + aup + astart + ASS_MIDDLE
+        Kh = aup + aws
+        if -aup - aws + tiw + aend < 0:
+            Kh = aup + aws - tiw - aend
+    elif t in (ST.utr3single, ST.rutr3single):
+        Kl = uc.max3single
+        Kh = dpc + boxlen
+    elif t in (ST.utr3init, ST.rutr3init):
+        Kl = mel + DSS_MIDDLE + dend
+        Kh = dend + DSS_MIDDLE
+    else:   # utr3term, rutr3term
+        Kl = uc.max3term + ASS_MIDDLE + astart + aup
+        Kh = dpc + boxlen + aws + aup
+
+    # begin clamp (gold_utr.utr_cands lo clamps, in b coordinates)
+    if t in (ST.utr5single, ST.utr5init):
+        b_lo = 1 - tss_up
+    elif t in (ST.rutr3single, ST.rutr3term):
+        b_lo = 1 - boxlen - dpc
+    else:
+        b_lo = 1
+
+    # ---- endPart + per-j cum/ipb folds (H side) --------------------------
+    ipb_end = 0.0
+    if hints_on:
+        ipbc = eng.ipb_plus_cum if fwd else eng.ipb_minus_cum
+
+    def clipc(x):
+        return np.clip(x, 0, n)
+
+    if t in (ST.utr5single, ST.utr5term):
+        ebxj = jj + tiw
+        p = ebxj + 1
+        is_start = np.zeros(n, dtype=bool)
+        ok = (p >= 0) & (p + 2 < n)
+        pc = np.clip(p, 0, max(n - 3, 0))
+        if n >= 3:
+            st3 = ((codes[pc] == genetics.A) & (codes[pc + 1] == genetics.T)
+                   & (codes[pc + 2] == genetics.G))
+            is_start = ok & st3
+        gate = (ebxj + 3 > n - 1) | is_start
+        end_list = [np.where(gate, 0.0, NEG_INF)] * C
+    elif t in (ST.utr5init, ST.utr5internal, ST.utr3init, ST.utr3internal):
+        ebxj = jj - dend - DSS_MIDDLE
+        start = jj - dws + 1
+        ep = np.where(start >= 0, sp.dss_score[np.clip(start, 0, n - 1)],
+                      NEG_INF)
+        end_list = [ep] * C
+    elif t in (ST.rutr5internal, ST.rutr5term, ST.rutr3internal,
+               ST.rutr3term):
+        ebxj = jj - aup - astart - ASS_MIDDLE
+        start = jj - aup - aws + 1
+        end_list = [np.where(start >= 0,
+                             sp.rass_score[c][np.clip(start, 0, n - 1)],
+                             NEG_INF) for c in range(C)]
+    elif t in (ST.rutr5single, ST.rutr5init):
+        ebxj = jj - tss_up
+        bep = jj - tss_up - te + 1
+        ok = (bep >= 0) & (bep < n)
+        end_list = [np.where(ok, eng.tss_minus[c][np.clip(bep, 0, n - 1)],
+                             NEG_INF) for c in range(C)]
+    elif t in (ST.utr3single, ST.utr3term):
+        # normal (j != n-1) branch; the j == n-1 case is a separate variant
+        ebxj = jj.copy()
+        bep = jj - dpc - boxlen + 1
+        ok = (jj != n - 1) & (bep >= 0) & (bep + boxlen - 1 < n)
+        end_list = [np.where(ok, eng.tts_plus[c][np.clip(bep, 0, n - 1)],
+                             NEG_INF) for c in range(C)]
+    else:   # rutr3single, rutr3init: reverse stop codon right after j
+        ebxj = jj.copy()
+        rcs = eng.gcode.rc_stop_at(codes)
+        ok = (jj + 3 <= n - 1)
+        ok[:-1] &= rcs[1:]
+        ok[-1] = False if n >= 1 and (n - 1) + 3 > n - 1 else ok[-1]
+        end_list = [np.where(ok, 0.0, NEG_INF)] * C
+    end_part = np.stack([np.asarray(e, dtype=np.float64) for e in end_list])
+
+    if hints_on and t not in (ST.utr3single, ST.utr3term, ST.rutr5single,
+                              ST.rutr5init):
+        # intronpart bonus over the intron bases inside the splice windows
+        # (gold_utr.utr_cands endPart tail); only when ebx < j
+        if int(ebxj[0]) < 0 or (n > 1 and ebxj[1] < 1):
+            seg = ipbc[jj + 1] - ipbc[clipc(ebxj + 1)]
+            end_part = np.where(end_part > NEG_INF, end_part + seg, end_part)
+
+    tag = str(int(t))
+    variants: List[ConvVariant] = []
+
+    def addv(gtag, g_fn, htag, h_arr, len_lo, len_hi, lv,
+             vb_lo=None, vb_hi=None):
+        len_lo = max(len_lo, Kh, 1)
+        if len_lo > len_hi:
+            return
+        gid = pool.add(f"UG_{tag}_{gtag}",
+                       lambda: _f32(g_fn()[:, None, :]), rb=("G", 1))
+        hid = pool.add(f"UH_{tag}_{htag}", lambda: _f32(h_arr), rb=("H",))
+        variants.append(ConvVariant(
+            g_id=gid, h_id=hid, len_lo=len_lo, len_hi=len_hi,
+            lenvec=_f32(lv[len_lo - 1:len_hi]), vb_lo=vb_lo, vb_hi=vb_hi))
+
+    # length vector helper: lv_full[L-1] = value for len=L, L in [1, Kl]
+    lens = np.arange(1, Kl + 1)
+
+    def _cum(name, cfwd):
+        return [eng.cum_utr[(c, name, cfwd)] for c in range(C)]
+
+    # ---- per-state begin/middle/length assembly --------------------------
+    # Each state defines: beginp (C, n_ext), middle cum name/strand + bm
+    # offset Kb, em offset Ke (em = j - Ke), bob offset (LENGTH = len +
+    # Klen), length dist + clip, span fallback mode.
+    def beginp_none():
+        out = np.zeros((C, n_ext))
+        out[:, be < b_lo] = NEG_INF
+        return out
+
+    def beginp_track(tracks, idx_off=0, affine_neg=None, neg_cond=None):
+        """beginp from per-class tracks at position b+idx_off for b >= 0 (or
+        b > 0 when neg_cond='pos'), an affine LQ term where specified, and
+        -inf below b_lo / outside [0, n)."""
+        out = np.full((C, n_ext), NEG_INF)
+        pos = be + idx_off
+        ok = (pos >= 0) & (pos < n)
+        if neg_cond == "pos":
+            sel = (be > 0) & ok
+        else:
+            sel = (be >= 0) & ok
+        for c in range(C):
+            trk = tracks[c] if isinstance(tracks, (list, dict)) else tracks
+            out[c, sel] = trk[pos[sel]]
+        if affine_neg is not None:
+            mult, off = affine_neg        # value = (b*mult + off) * LQ
+            if neg_cond == "pos":
+                nsel = be <= 0
+            else:
+                nsel = be < 0
+            out[:, nsel] = (be[nsel] * mult + off) * LQ
+        out[:, be < b_lo] = NEG_INF
+        return out
+
+    def gmain(beginp, name, cfwd, Kb):
+        cums = _cum(name, cfwd)
+
+        def fn():
+            out = beginp.copy()
+            bm = np.clip(be + Kb, 0, n)
+            for c in range(C):
+                out[c] = np.where(out[c] > NEG_INF,
+                                  out[c] - cums[c][bm], out[c])
+            return out
+        return fn
+
+    def hmain(name, cfwd, Ke):
+        cums = _cum(name, cfwd)
+        em1 = clipc(jj - Ke + 1)
+        return np.stack([np.where(end_part[c] > NEG_INF,
+                                  end_part[c] + cums[c][em1], end_part[c])
+                         for c in range(C)])
+
+    def lv_dist(kind, Klen, clip_max):
+        idx = np.clip(lens + Klen, 0, clip_max)
+        return ld[kind][idx]
+
+    def span_split(beginp, name, cfwd, Kb, Ke, lvA, fb_log, btag="",
+                   vb_lo=None, vb_hi=None):
+        """Add the normal (span>=0 / >0) and fallback variants."""
+        Csp = Ke + Kb
+        if fb_log is None:
+            # middle = 0 for len <= Csp (seg clips to zero)
+            addv(f"A{btag}", gmain(beginp, name, cfwd, Kb), f"A{btag}",
+                 hmain(name, cfwd, Ke), Csp, Kl, lvA, vb_lo, vb_hi)
+            addv(f"B{btag}", lambda: beginp, f"B{btag}", end_part,
+                 1, Csp - 1, lvA, vb_lo, vb_hi)
+        else:
+            # fallback -span*log for span < 0 (i.e. len < Csp)
+            addv(f"A{btag}", gmain(beginp, name, cfwd, Kb), f"A{btag}",
+                 hmain(name, cfwd, Ke), Csp, Kl, lvA, vb_lo, vb_hi)
+            lvB = lvA + (Csp - lens) * fb_log
+            addv(f"B{btag}", lambda: beginp, f"B{btag}", end_part,
+                 1, Csp - 1, lvB, vb_lo, vb_hi)
+
+    if t == ST.utr5single:
+        bp = beginp_track(eng.tss_plus, affine_neg=(1.0, tss_up + te - 1))
+        span_split(bp, "u5i", True, tss_up + te, 0,
+                   lv_dist("5single", tiw - tss_up, mel), LOG2)
+    elif t == ST.utr5init:
+        bp = beginp_track(eng.tss_plus, affine_neg=(1.0, tss_up + te - 1))
+        span_split(bp, "u5i", True, tss_up + te, dws,
+                   lv_dist("5initial", -dend - DSS_MIDDLE - tss_up, mel),
+                   None)
+    elif t == ST.utr5internal:
+        bp = beginp_track(sp.ass_score)
+        span_split(bp, "u5", True, aup + aws, dws,
+                   lv_dist("5internal",
+                           -dend - DSS_MIDDLE - aup - astart - ASS_MIDDLE,
+                           mel), None)
+    elif t == ST.rutr5internal:
+        bp = beginp_track(sp.rdss_score)
+        span_split(bp, "u5", False, dws, aws + aup,
+                   lv_dist("5internal",
+                           -aup - astart - ASS_MIDDLE - dend - DSS_MIDDLE,
+                           mel), None)
+    elif t == ST.utr5term:
+        bp = beginp_track(sp.ass_score)
+        # beginp invalid when beginOfBioExon >= n (gold_utr utr5term)
+        bp[:, be + aup + astart + ASS_MIDDLE >= n] = NEG_INF
+        span_split(bp, "u5", True, aup + aws, 0,
+                   lv_dist("5terminal", tiw - aup - astart - ASS_MIDDLE,
+                           mel), LOG4)
+    elif t == ST.rutr5term:
+        bp = beginp_none()
+        span_split(bp, "u5", False, 0, aws + aup,
+                   lv_dist("5terminal", tiw - aup - astart - ASS_MIDDLE,
+                           mel), LOG4)
+    elif t == ST.rutr5single:
+        bp = beginp_none()
+        span_split(bp, "u5i", False, 0, tss_up + te,
+                   lv_dist("5single", tiw - tss_up, mel), LOG2)
+    elif t == ST.rutr5init:
+        bp = beginp_track(sp.rdss_score)
+        span_split(bp, "u5i", False, dws, tss_up + te,
+                   lv_dist("5initial", -dend - DSS_MIDDLE - tss_up, mel),
+                   None)
+    elif t == ST.utr3init:
+        bp = beginp_none()
+        span_split(bp, "u3", True, 0, dws,
+                   lv_dist("3initial", -dend - DSS_MIDDLE, mel), LOG4)
+    elif t == ST.rutr3init:
+        bp = beginp_track(sp.rdss_score)
+        span_split(bp, "u3", False, dws, 0,
+                   lv_dist("3initial", -dend - DSS_MIDDLE, mel), LOG4)
+    elif t == ST.utr3internal:
+        bp = beginp_track(sp.ass_score)
+        span_split(bp, "u3", True, aup + aws, dws,
+                   lv_dist("3internal",
+                           -dend - DSS_MIDDLE - aup - astart - ASS_MIDDLE,
+                           mel), None)
+    elif t == ST.rutr3internal:
+        bp = beginp_track(sp.rdss_score)
+        span_split(bp, "u3", False, dws, aws + aup,
+                   lv_dist("3internal",
+                           -aup - astart - ASS_MIDDLE - dend - DSS_MIDDLE,
+                           mel), None)
+    elif t == ST.utr3single:
+        bp = beginp_none()
+        span_split(bp, "u3", True, 0, dpc + boxlen,
+                   lv_dist("3single", 0, uc.max3single), None)
+        # j == n-1: end at the sequence end, tail length distribution
+        # (gold_utr get_end_positions utr3single + _not_end_part tail)
+        h_last = np.full((C, n), NEG_INF)
+        cums = _cum("u3", True)
+        for c in range(C):
+            h_last[c, n - 1] = cums[c][n]
+        lv_tail = eng.log_tail3[np.clip(lens, 0,
+                                        eng.log_tail3.shape[0] - 1)]
+        gid = pool.add(f"UG_{tag}_last", lambda: _f32(
+            (gmain(bp, "u3", True, 0)())[:, None, :]), rb=("G", 1))
+        hid = pool.add(f"UH_{tag}_last", lambda: _f32(h_last), rb=("H",))
+        variants.append(ConvVariant(g_id=gid, h_id=hid, len_lo=1,
+                                    len_hi=Kl, lenvec=_f32(lv_tail)))
+    elif t == ST.rutr3single:
+        bpP = beginp_track(eng.tts_minus, idx_off=dpc, neg_cond="pos")
+        bpN = beginp_none()
+        bpN[:, be > 0] = NEG_INF
+        bm = be + boxlen + dpc
+        aff = np.where(bm > 0, (bm - 1) * LQ, 0.0)
+        bpN = np.where(bpN > NEG_INF, aff[None, :], bpN)
+        span_split(bpP, "u3", False, boxlen + dpc, 0,
+                   lv_dist("3single", 0, uc.max3single), None,
+                   btag="p", vb_lo=1)
+        span_split(bpN, "u3", False, boxlen + dpc, 0,
+                   eng.log_tail3[np.clip(lens, 0,
+                                         eng.log_tail3.shape[0] - 1)],
+                   None, btag="n", vb_hi=0)
+    elif t == ST.utr3term:
+        bp = beginp_track(sp.ass_score)
+        span_split(bp, "u3", True, aup + aws, dpc + boxlen,
+                   lv_dist("3terminal",
+                           -aup - astart - ASS_MIDDLE, uc.max3term), None)
+        # j == n-1 variant (tail length dist, end at sequence end)
+        h_last = np.full((C, n), NEG_INF)
+        cums = _cum("u3", True)
+        for c in range(C):
+            h_last[c, n - 1] = cums[c][n]
+        Klen3 = -aup - astart - ASS_MIDDLE
+        lv_tail = eng.log_tail3[np.clip(lens + Klen3, 0,
+                                        eng.log_tail3.shape[0] - 1)]
+        gid = pool.add(f"UG_{tag}_last", lambda: _f32(
+            (gmain(bp, "u3", True, aup + aws)())[:, None, :]), rb=("G", 1))
+        hid = pool.add(f"UH_{tag}_last", lambda: _f32(h_last), rb=("H",))
+        variants.append(ConvVariant(
+            g_id=gid, h_id=hid, len_lo=max(aws + aup, 1), len_hi=Kl,
+            lenvec=_f32(lv_tail[max(aws + aup, 1) - 1:Kl])))
+    else:   # rutr3term
+        bpP = beginp_track(eng.tts_minus, idx_off=dpc, neg_cond="pos")
+        bpN = beginp_none()
+        bpN[:, be > 0] = NEG_INF
+        bm = be + boxlen + dpc
+        bpN = np.where(bpN > NEG_INF, ((bm - 1) * LQ)[None, :], bpN)
+        lv3t = lv_dist("3terminal", -aup - astart - ASS_MIDDLE, uc.max3term)
+        span_split(bpP, "u3", False, boxlen + dpc, aws + aup, lv3t,
+                   None, btag="p", vb_lo=1)
+        span_split(bpN, "u3", False, boxlen + dpc, aws + aup, lv3t,
+                   None, btag="n", vb_hi=0)
+
+    variants.sort(key=lambda v: v.len_lo)
+
+    end_gate = (end_part > NEG_INF).any(axis=0)
+    if t in (ST.utr3single, ST.utr3term):
+        end_gate = end_gate.copy()
+        end_gate[n - 1] = True
+
+    big = np.int32(1 << 30)
+    return ExonConvState(
+        state=s, etype=int(t), bpl=0, a_off=1,
+        phase_const=0, phase_sign=1, frame_mode=0, win=0, lane=lane,
+        end_gate=end_gate,
+        start_min=np.full(n, -big, dtype=np.int32),
+        start_max=jj.astype(np.int32), variants=variants)
+
+
+# ---------------------------------------------------------------------------
+# Sparse exon-hint machinery (exonpart/CDSpart/exon/CDS quotients)
+# ---------------------------------------------------------------------------
+#
+# gold._exon_part_quot (reference exonmodel.cc:1769-1860) scores each exon
+# candidate [bob, ebx] against the hint set.  On device this decomposes as
+#
+#   quot(j, b) = separable(b) + separable(j) + clamps(window arithmetic)
+#              + covering corrections + exact boundary matches
+#
+# via cumulative tracks:
+#   BE(x)   = sum of log-bonus over hints with end <= x
+#   CR(p)   = sum over hints crossing p (start < p <= end)
+#   C2(x)   = sum over hints with start <= x < end
+#   Cnt*(x) = count versions; ZC(x) = zero-coverage cumsum (local malus)
+# so e.g.  sum over hints INSIDE [bob, ebx]
+#        = BE(ebx) - BE(bob-1) - CR(bob) + Cov(b, j)
+# where Cov(b, j) = sum over hints with start < bob and end > ebx.  Cov is
+# the only non-separable term; every such hint crosses ebx, so with
+#   TX(x)   = sum over hints crossing x
+#   steps(x) = the (start, w) list of hints crossing x
+# Cov = TX(ebx) - sum_k w_k * [start_k >= bob] -- a handful of per-x step
+# entries (bounded by the hint crossing depth, K-capped).  Exact boundary
+# matches (CDS ==, exon == / one-sided) are per-x point/step entries.
+
+EXON_HINT_KINDS = ("exonpart", "CDSpart", "exon", "CDS")
+
+
+@dataclass
+class HintTables:
+    """Per-strand hint tracks + per-x correction tables."""
+    # b-indexed window rows over the extended domain [-gpad, n+END_PAD):
+    # dict name -> (n_ext,) f32
+    wrows: Dict[str, np.ndarray]
+    # x-indexed 1-D tracks over [0, n) (baked into scalar cols at x=j+bo)
+    xrows: Dict[str, np.ndarray]
+    # crossing step tables: (n, K) arrays
+    cross_start: np.ndarray       # int32, -2**30 when empty
+    cross_w: np.ndarray           # f32 log-bonus
+    cross_flag: np.ndarray        # int32 bitmask: 1=ep 2=cp 4=exon
+    # exact-match tables at x == hint end: (n, K2)
+    ex_pos: np.ndarray            # int32 bob value / threshold
+    ex_w: np.ndarray              # f32
+    ex_kind: np.ndarray           # int32: 1=CDS point, 2=exonI point,
+    #                               3=exonLT step (bob > pos)
+
+
+def _build_hint_tables(eng, gpad: int) -> Dict[str, HintTables]:
+    """Build per-strand HintTables from the prepared SeqHints."""
+    h = eng.hints
+    n = eng.n
+    n_ext = gpad + n + END_PAD
+    out = {}
+    for strand in ("+", "-"):
+        def sok(f):
+            return f.strand in (strand, ".")
+
+        eps = [f for f in h.by_type["exonpart"] if sok(f)]
+        cps = [f for f in h.by_type["CDSpart"] if sok(f)]
+        exs = [f for f in h.by_type["exon"] if sok(f)]
+        cds = [f for f in h.by_type["CDS"] if sok(f)]
+
+        def cum_end(feats, w=True):
+            a = np.zeros(n)
+            for f in feats:
+                if 0 <= f.end < n:
+                    a[f.end] += np.log(f.bonus) if w else 1.0
+            return np.cumsum(a)
+
+        def cross(feats, w=True):
+            """CR(p) = sum over start < p <= end."""
+            a = np.zeros(n + 1)
+            for f in feats:
+                lo, hi = f.start + 1, f.end + 1   # p in [start+1, end]
+                a[max(lo, 0): max(min(hi, n), 0)] += \
+                    np.log(f.bonus) if w else 1.0
+            return a[:n]
+
+        def cross2(feats, w=True):
+            """C2(x) = sum over start <= x < end."""
+            a = np.zeros(n + 1)
+            for f in feats:
+                a[max(f.start, 0): max(min(f.end, n), 0)] += \
+                    np.log(f.bonus) if w else 1.0
+            return a[:n]
+
+        wrows = {}
+        xrows = {}
+
+        def put_both(name, arr):
+            ext = np.zeros(n_ext, dtype=np.float32)
+            ext[gpad: gpad + n] = arr
+            ext[gpad + n:] = arr[-1] if n else 0.0
+            wrows[name] = ext
+            xrows[name] = np.asarray(arr, dtype=np.float64)
+
+        put_both("BE_ep", cum_end(eps))
+        put_both("BE_cp", cum_end(cps))
+        put_both("CntBE_ep", cum_end(eps, w=False))
+        put_both("CntBE_cp", cum_end(cps, w=False))
+        put_both("CR_ep", cross(eps))
+        put_both("CR_cp", cross(cps))
+        put_both("CntCR_ep", cross(eps, w=False))
+        put_both("CntCR_cp", cross(cps, w=False))
+        xrows["C2_ep"] = cross2(eps)
+        xrows["CntC2_ep"] = cross2(eps, w=False)
+        # any-strand end counts (numEPendingInExon ignores strand)
+        all_eps = h.by_type["exonpart"]
+        all_cps = h.by_type["CDSpart"]
+        put_both("CntE_ep", cum_end(all_eps, w=False))
+        put_both("CntE_cp", cum_end(all_cps, w=False))
+        # zero-coverage cums for the local malus (gold cumcov_cp_*)
+        zc = getattr(eng, "cumcov_cp_plus" if strand == "+"
+                     else "cumcov_cp_minus")
+        put_both("ZC", zc.astype(np.float64))
+
+        # crossing tables: hints crossing x, for Cov + terminal exon matches
+        lists = [[] for _ in range(n)]
+        for flag, feats in ((1, eps), (2, cps), (4, exs)):
+            for f in feats:
+                for x in range(max(f.start, 0), min(f.end, n)):
+                    lists[x].append((f.start, float(np.log(f.bonus)), flag))
+        K = max((len(l) for l in lists), default=0)
+        cross_start = np.full((n, max(K, 1)), -(1 << 30), dtype=np.int32)
+        cross_w = np.zeros((n, max(K, 1)), dtype=np.float32)
+        cross_flag = np.zeros((n, max(K, 1)), dtype=np.int32)
+        for x, l in enumerate(lists):
+            for k, (st_, w_, fl_) in enumerate(l):
+                cross_start[x, k] = st_
+                cross_w[x, k] = w_
+                cross_flag[x, k] = fl_
+        if K == 0:
+            cross_start = cross_start[:, :0]
+            cross_w = cross_w[:, :0]
+            cross_flag = cross_flag[:, :0]
+        # TX sums per x
+        for nm, flag, w in (("TX_ep", 1, True), ("TX_cp", 2, True),
+                            ("TXc_ep", 1, False), ("TXc_cp", 2, False)):
+            a = np.zeros(n)
+            if cross_start.shape[1]:
+                sel = cross_flag == flag
+                a = np.sum(np.where(sel, cross_w if w else 1.0, 0.0), axis=1)
+            xrows[nm] = a
+
+        # exact tables keyed by x = hint end
+        lists2 = [[] for _ in range(n)]
+        for f in cds:
+            if 0 <= f.end < n:
+                lists2[f.end].append((f.start, float(np.log(f.bonus)), 1))
+        for f in exs:
+            if 0 <= f.end < n:
+                lists2[f.end].append((f.start, float(np.log(f.bonus)), 2))
+                lists2[f.end].append((f.start, float(np.log(f.bonus)), 3))
+        K2 = max((len(l) for l in lists2), default=0)
+        ex_pos = np.full((n, max(K2, 1)), -(1 << 30), dtype=np.int32)
+        ex_w = np.zeros((n, max(K2, 1)), dtype=np.float32)
+        ex_kind = np.zeros((n, max(K2, 1)), dtype=np.int32)
+        for x, l in enumerate(lists2):
+            for k, (p_, w_, kd_) in enumerate(l):
+                ex_pos[x, k] = p_
+                ex_w[x, k] = w_
+                ex_kind[x, k] = kd_
+        if K2 == 0:
+            ex_pos = ex_pos[:, :0]
+            ex_w = ex_w[:, :0]
+            ex_kind = ex_kind[:, :0]
+        out[strand] = HintTables(
+            wrows=wrows, xrows=xrows, cross_start=cross_start,
+            cross_w=cross_w, cross_flag=cross_flag,
+            ex_pos=ex_pos, ex_w=ex_w, ex_kind=ex_kind)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Length bucketing: pad tracks so sequences of similar length share one
+# compiled scan.  The scan gates DP-value updates at j >= n_true, so the
+# padded tail never affects rows the traceback reads (the DP is causal).
+# ---------------------------------------------------------------------------
+
+def bucket_length(n: int) -> int:
+    """Round up to {1, 1.25, 1.5, 1.75} * 2^k (waste <= 25%)."""
+    if n <= 1024:
+        return 1024
+    k = int(np.floor(np.log2(n)))
+    for frac in (4, 5, 6, 7, 8):
+        cand = (1 << k) * frac // 4
+        if cand >= n:
+            return cand
+    return 1 << (k + 1)
+
+
+def pad_tracks(tr: DPTracks, n_pad: int) -> None:
+    """Pad every per-position array of tr from tr.n to n_pad, in place."""
+    n = tr.n
+    if n_pad <= n:
+        return
+    ex = n_pad - n
+
+    def padl(a, fill):
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, ex)]
+        return np.pad(a, pad, mode="constant", constant_values=fill)
+
+    def pade(a):      # replicate the last value (cum/saturating arrays)
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, ex)]
+        return np.pad(a, pad, mode="edge")
+
+    tr.stairs = pade(tr.stairs)
+    for cs in tr.chain:
+        cs.emi = padl(cs.emi, F32_NEG)
+    for fs in tr.fixed:
+        fs.emi = padl(fs.emi, F32_NEG)
+    for ls in tr.lessd:
+        ls.b_valid = padl(ls.b_valid, False)
+        ls.b_stopflag = padl(ls.b_stopflag, 0)
+        ls.j_gate = padl(ls.j_gate, False)
+        ls.j_stopsel = padl(ls.j_stopsel, 0)
+    for ps in tr.exon_pinned:
+        ps.eop = padl(ps.eop, -1)
+        ps.score = padl(ps.score, F32_NEG)
+    for ecs in tr.exon_conv:
+        ecs.end_gate = padl(ecs.end_gate, False)
+        ecs.start_min = padl(ecs.start_min, 0)
+        ecs.start_max = padl(ecs.start_max, 0)
+    out = []
+    ext_len = tr.gpad + n + END_PAD
+    for a in tr.pool:
+        if a.shape[-1] == n:          # b-indexed plain / (C, n) H arrays
+            out.append(padl(a, F32_NEG))
+        elif a.shape[-1] == n + 1:    # cumulative arrays
+            out.append(pade(a))
+        elif a.shape[-1] == ext_len:  # extended-domain arrays: grow the
+            # tail so index gpad+p stays valid for p < n_pad + END_PAD
+            out.append(pade(a))
+        else:
+            out.append(a)
+    tr.pool = out
+    if tr.hint_tables is not None:
+        for t in tr.hint_tables.values():
+            t.wrows = {k: pade(v) for k, v in t.wrows.items()}
+            t.xrows = {k: pade(v) for k, v in t.xrows.items()}
+            t.cross_start = np.pad(t.cross_start, ((0, ex), (0, 0)),
+                                   constant_values=-(1 << 30))
+            t.cross_w = np.pad(t.cross_w, ((0, ex), (0, 0)))
+            t.cross_flag = np.pad(t.cross_flag, ((0, ex), (0, 0)))
+            t.ex_pos = np.pad(t.ex_pos, ((0, ex), (0, 0)),
+                              constant_values=-(1 << 30))
+            t.ex_w = np.pad(t.ex_w, ((0, ex), (0, 0)))
+            t.ex_kind = np.pad(t.ex_kind, ((0, ex), (0, 0)))
+    if tr.base is not None:
+        tr.base = pade(tr.base)
+    tr.n = n_pad

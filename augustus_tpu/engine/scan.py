@@ -29,12 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from ..model.state_config import ST
-from .device import DPTracks, F32_NEG
+from .device import DPTracks, F32_NEG, END_PAD
 
 NEG = jnp.float32(F32_NEG)
 GATE = jnp.float32(-1.0e29)
-
-END_PAD = 64
 
 
 @dataclass(frozen=True)
@@ -45,6 +43,31 @@ class VariantStatic:
     len_hi: int
     width: int
     fsel: Optional[tuple]
+    vb_lo: Optional[int] = None   # absolute begin-position bounds (UTR)
+    vb_hi: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class HintConvStatic:
+    """Sparse exon-hint machinery for one conv state (device.HintTables).
+
+    Window-row indices index hw_all; x-side values are scalar columns
+    pre-shifted to x = j + base_offset; cross/ex entry fields are
+    (int_col, scal_col, int_col) triples per K slot.
+    """
+    ipo: int
+    aL: bool
+    aR: bool
+    exclass: int
+    w_be_ep: int; w_be_cp: int; w_cntbe_ep: int; w_cntbe_cp: int
+    w_cr_ep: int; w_cr_cp: int; w_cntcr_ep: int; w_cntcr_cp: int
+    w_cnte_ep: int; w_cnte_cp: int; w_zc: int
+    x_be_ep: int; x_be_cp: int; x_cntbe_ep: int; x_cntbe_cp: int
+    x_c2_ep: int; x_cntc2_ep: int
+    x_cnte_ep: int; x_cnte_cp: int; x_zc: int
+    x_tx_ep: int; x_tx_cp: int; x_txc_ep: int; x_txc_cp: int
+    cross_cols: tuple
+    ex_cols: tuple
 
 
 @dataclass(frozen=True)
@@ -58,6 +81,7 @@ class ConvStatic:
     smax_col: int
     gate_col: int
     variants: Tuple[VariantStatic, ...]
+    hint: Optional[HintConvStatic] = None
 
 
 @dataclass(frozen=True)
@@ -113,12 +137,14 @@ class ScanStatic:
     pinned: Tuple[PinnedStatic, ...]
     convs: Tuple[ConvStatic, ...]
     cls_col: int              # int col of the GC class
+    NHW: int = 0              # hint window rows in hw_all
+    hint_lm: Optional[tuple] = None   # (lm_ep, lm_cp, lm_exon, lm_CDS,
+    #                                    lm_local_cp)
 
 
 def split_tracks(tr: DPTracks):
     """(static, arrays) decomposition with scalar-table consolidation."""
-    from .device import CONV_CAP
-    GPAD = CONV_CAP + 96
+    GPAD = tr.gpad
     PAD = GPAD
     C = tr.n_classes
     n = tr.n
@@ -176,6 +202,7 @@ def split_tracks(tr: DPTracks):
             [np.full(front, fill, dtype=arr.dtype), arr,
              np.full(back, fill, dtype=arr.dtype)], axis=-1)
 
+    ext_len = GPAD + n + END_PAD
     G_list = []
     for pid in g_ids:
         a = tr.pool[pid]
@@ -183,7 +210,10 @@ def split_tracks(tr: DPTracks):
             a = np.broadcast_to(a, (a.shape[0], 3, a.shape[2]))
         if a.shape[0] == 1:
             a = np.broadcast_to(a, (C,) + a.shape[1:])
-        G_list.append(pad_last(np.ascontiguousarray(a)))
+        if a.shape[-1] == ext_len:    # already on the extended begin domain
+            G_list.append(np.ascontiguousarray(a))
+        else:
+            G_list.append(pad_last(np.ascontiguousarray(a)))
     arrays["G_all"] = np.stack(G_list) if G_list else \
         np.zeros((0, C, 3, GPAD + n + END_PAD), np.float32)
     arrays["cum_all"] = np.stack(
@@ -232,10 +262,95 @@ def split_tracks(tr: DPTracks):
         score_col=scol(ps.score[cls, pos]), eop_col=icol(ps.eop))
         for ps in tr.exon_pinned)
 
+    # ---- sparse exon-hint machinery --------------------------------------
+    ht = tr.hint_tables
+    hw_rows: List[np.ndarray] = []
+    hw_ids: Dict[tuple, int] = {}
+    xcol_cache: Dict[tuple, int] = {}
+    ccol_cache: Dict[tuple, tuple] = {}
+    ecol_cache: Dict[tuple, tuple] = {}
+
+    def hw_row(strand, name):
+        key = (strand, name)
+        if key not in hw_ids:
+            hw_ids[key] = len(hw_rows)
+            hw_rows.append(np.asarray(ht[strand].wrows[name], np.float32))
+        return hw_ids[key]
+
+    def xcol(strand, bo, name):
+        # x = j + bo may exceed n-1 for end-truncated exons: cumulative
+        # tracks saturate at n-1 (crossing-type tracks are 0 there anyway);
+        # x < 0 candidates are gated off upstream, value 0
+        key = (strand, bo, name)
+        if key not in xcol_cache:
+            xr = np.asarray(ht[strand].xrows[name], np.float64)
+            xi = pos + bo
+            vals = np.where(xi >= 0, xr[np.clip(xi, 0, n - 1)], 0.0)
+            xcol_cache[key] = scol(vals)
+        return xcol_cache[key]
+
+    def cross_cols(strand, bo):
+        key = (strand, bo)
+        if key not in ccol_cache:
+            t = ht[strand]
+            xi = pos + bo
+            ok = (xi >= 0) & (xi < n)
+            xc = np.clip(xi, 0, n - 1)
+            cols = []
+            for k in range(t.cross_start.shape[1]):
+                si = icol(np.where(ok, t.cross_start[xc, k], -(1 << 30)))
+                wi = scol(np.where(ok, t.cross_w[xc, k], 0.0))
+                fi = icol(np.where(ok, t.cross_flag[xc, k], 0))
+                cols.append((si, wi, fi))
+            ccol_cache[key] = tuple(cols)
+        return ccol_cache[key]
+
+    def ex_cols(strand, bo):
+        key = (strand, bo)
+        if key not in ecol_cache:
+            t = ht[strand]
+            xi = pos + bo
+            ok = (xi >= 0) & (xi < n)
+            xc = np.clip(xi, 0, n - 1)
+            cols = []
+            for k in range(t.ex_pos.shape[1]):
+                pi = icol(np.where(ok, t.ex_pos[xc, k], -(1 << 30)))
+                wi = scol(np.where(ok, t.ex_w[xc, k], 0.0))
+                ki = icol(np.where(ok, t.ex_kind[xc, k], 0))
+                cols.append((pi, wi, ki))
+            ecol_cache[key] = tuple(cols)
+        return ecol_cache[key]
+
+    def hint_static(ecs) -> Optional[HintConvStatic]:
+        if ht is None or ecs.hint_strand is None:
+            return None
+        s_, bo = ecs.hint_strand, ecs.hint_bo
+        return HintConvStatic(
+            ipo=ecs.hint_ipo, aL=ecs.hint_aL, aR=ecs.hint_aR,
+            exclass=ecs.hint_exclass,
+            w_be_ep=hw_row(s_, "BE_ep"), w_be_cp=hw_row(s_, "BE_cp"),
+            w_cntbe_ep=hw_row(s_, "CntBE_ep"),
+            w_cntbe_cp=hw_row(s_, "CntBE_cp"),
+            w_cr_ep=hw_row(s_, "CR_ep"), w_cr_cp=hw_row(s_, "CR_cp"),
+            w_cntcr_ep=hw_row(s_, "CntCR_ep"),
+            w_cntcr_cp=hw_row(s_, "CntCR_cp"),
+            w_cnte_ep=hw_row(s_, "CntE_ep"), w_cnte_cp=hw_row(s_, "CntE_cp"),
+            w_zc=hw_row(s_, "ZC"),
+            x_be_ep=xcol(s_, bo, "BE_ep"), x_be_cp=xcol(s_, bo, "BE_cp"),
+            x_cntbe_ep=xcol(s_, bo, "CntBE_ep"),
+            x_cntbe_cp=xcol(s_, bo, "CntBE_cp"),
+            x_c2_ep=xcol(s_, bo, "C2_ep"),
+            x_cntc2_ep=xcol(s_, bo, "CntC2_ep"),
+            x_cnte_ep=xcol(s_, bo, "CntE_ep"),
+            x_cnte_cp=xcol(s_, bo, "CntE_cp"), x_zc=xcol(s_, bo, "ZC"),
+            x_tx_ep=xcol(s_, bo, "TX_ep"), x_tx_cp=xcol(s_, bo, "TX_cp"),
+            x_txc_ep=xcol(s_, bo, "TXc_ep"), x_txc_cp=xcol(s_, bo, "TXc_cp"),
+            cross_cols=cross_cols(s_, bo), ex_cols=ex_cols(s_, bo))
+
     # ---- convs ---------------------------------------------------------
     convs = []
     for ei, ecs in enumerate(tr.exon_conv):
-        win = tr.gold.geom[ST(ecs.etype)].win
+        win = tr.gold.geom[ST(ecs.etype)].win if ecs.frame_mode else 0
         vs = []
         for vi, var in enumerate(ecs.variants):
             width = var.len_hi - var.len_lo + 1
@@ -250,7 +365,8 @@ def split_tracks(tr: DPTracks):
             vs.append(VariantStatic(g_id=g_map[var.g_id],
                                     h_col=h_col(var.h_id),
                                     len_lo=var.len_lo, len_hi=var.len_hi,
-                                    width=width, fsel=fsel))
+                                    width=width, fsel=fsel,
+                                    vb_lo=var.vb_lo, vb_hi=var.vb_hi))
             arrays[f"lenvec{ei}_{vi}"] = var.lenvec[::-1].copy()
         # phi(j) and the end gate packed into one int column
         if ecs.phase_sign < 0:
@@ -263,17 +379,109 @@ def split_tracks(tr: DPTracks):
             smin_col=icol(ecs.start_min), smax_col=icol(ecs.start_max),
             gate_col=icol(ecs.end_gate.astype(np.int32) +
                           (phi.astype(np.int32) << 1)),
-            variants=tuple(vs)))
+            variants=tuple(vs), hint=hint_static(ecs)))
 
     arrays["scalar_table"] = np.stack(scal_cols, axis=1)    # (n, NSC)
     arrays["int_table"] = np.stack(int_cols, axis=1)        # (n, NIC)
+    arrays["hw_all"] = np.stack(hw_rows) if hw_rows else \
+        np.zeros((0, GPAD + n + END_PAD), np.float32)
+    arrays["n_true"] = np.int32(n)      # overwritten by bucketed callers
 
+    hint_lm = None
+    if tr.hint_lm is not None:
+        hint_lm = (tr.hint_lm["exonpart"], tr.hint_lm["CDSpart"],
+                   tr.hint_lm["exon"], tr.hint_lm["CDS"],
+                   tr.hint_lm["local_cp"])
     static = ScanStatic(
         n=n, S=tr.S, NL=tr.n_lanes, C=C, PAD=PAD, GPAD=GPAD,
         NSC=len(scal_cols), NIC=len(int_cols),
         chain=chain_s, fixed=tuple(fixed_s), lessd=tuple(lessd_s),
-        pinned=pinned_s, convs=tuple(convs), cls_col=cls_col)
+        pinned=pinned_s, convs=tuple(convs), cls_col=cls_col,
+        NHW=len(hw_rows), hint_lm=hint_lm)
     return static, arrays
+
+
+def _hint_quot(st: ScanStatic, hs: HintConvStatic, HWwin, srow, irow,
+               goff: int, width: int, b, widx, len_hi: int):
+    """Exonpart/CDSpart/exon/CDS hint quotient over one conv band
+    (gold._exon_part_quot, reference exonmodel.cc:1769-1860)."""
+    lm_ep, lm_cp, lm_ex, lm_cds, lm_loc = st.hint_lm
+    ipo = hs.ipo
+    o1 = goff - ipo - 1              # window col offset for bob - 1
+    o2 = goff - ipo                  # bob
+
+    def WR(row, off):
+        return HWwin[row, off: off + width]
+
+    bob = b - ipo
+    # covering sums: TX(x) minus crossing entries with start >= bob
+    cov_ep = srow[hs.x_tx_ep]
+    cov_cp = srow[hs.x_tx_cp]
+    covc_ep = srow[hs.x_txc_ep]
+    covc_cp = srow[hs.x_txc_cp]
+    for (sc_, wc_, fc_) in hs.cross_cols:
+        sk, wk, fl = irow[sc_], srow[wc_], irow[fc_]
+        sub = (sk >= bob).astype(jnp.float32)
+        cov_ep = cov_ep - jnp.where(fl == 1, wk, 0.0) * sub
+        covc_ep = covc_ep - jnp.where(fl == 1, 1.0, 0.0) * sub
+        cov_cp = cov_cp - jnp.where(fl == 2, wk, 0.0) * sub
+        covc_cp = covc_cp - jnp.where(fl == 2, 1.0, 0.0) * sub
+    crw_ep = WR(hs.w_cr_ep, o2)
+    inside_ep = srow[hs.x_be_ep] - WR(hs.w_be_ep, o1) - crw_ep + cov_ep
+    inside_cp = srow[hs.x_be_cp] - WR(hs.w_be_cp, o1) - \
+        WR(hs.w_cr_cp, o2) + cov_cp
+    ccw_ep = WR(hs.w_cntcr_ep, o2)
+    cin_ep = srow[hs.x_cntbe_ep] - WR(hs.w_cntbe_ep, o1) - ccw_ep + covc_ep
+    cin_cp = srow[hs.x_cntbe_cp] - WR(hs.w_cntbe_cp, o1) - \
+        WR(hs.w_cntcr_cp, o2) + covc_cp
+    part_bonus = inside_ep + inside_cp
+    nep = cin_ep + cin_cp
+    if hs.aL:       # exonpart ending inside a begin-anchored exon: sqrt
+        part_bonus = part_bonus + 0.5 * (crw_ep - cov_ep)
+        nep = nep + (ccw_ep - covc_ep)
+    if hs.aR:       # exonpart starting inside an end-anchored exon
+        part_bonus = part_bonus + 0.5 * (srow[hs.x_c2_ep] - cov_ep)
+        nep = nep + (srow[hs.x_cntc2_ep] - covc_ep)
+    quot = part_bonus
+
+    # exact boundary matches + support maluses
+    sup_ex = jnp.zeros((width,), jnp.float32)
+    sup_cds = jnp.zeros((width,), jnp.float32)
+    for (pc_, wc_, kc_) in hs.ex_cols:
+        pk, wk, kd = irow[pc_], srow[wc_], irow[kc_]
+        cond = ((kd == 1) & (bob == pk)).astype(jnp.float32)
+        quot = quot + wk * cond
+        sup_cds = jnp.maximum(sup_cds, cond)
+        if hs.exclass == 1:
+            cond = ((kd == 2) & (bob == pk)).astype(jnp.float32)
+            quot = quot + wk * cond
+            sup_ex = jnp.maximum(sup_ex, cond)
+        elif hs.exclass == 3:
+            cond = ((kd == 3) & (pk < bob) &
+                    (pk > -(1 << 29))).astype(jnp.float32)
+            quot = quot + 0.5 * wk * cond
+            sup_ex = jnp.maximum(sup_ex, cond)
+    if hs.exclass == 2:      # exon hint anchored at begin, ending beyond
+        for (sc_, wc_, fc_) in hs.cross_cols:
+            sk, wk, fl = irow[sc_], srow[wc_], irow[fc_]
+            cond = ((fl == 4) & (bob == sk)).astype(jnp.float32)
+            quot = quot + 0.5 * wk * cond
+            sup_ex = jnp.maximum(sup_ex, cond)
+    quot = quot + lm_ex * (1.0 - sup_ex) + lm_cds * (1.0 - sup_cds)
+
+    # per-base part maluses, clamped at zero uncovered length
+    lenv = jnp.float32(len_hi) - widx.astype(jnp.float32)
+    d_ep = lenv - (srow[hs.x_cnte_ep] - WR(hs.w_cnte_ep, o1))
+    d_cp = lenv - (srow[hs.x_cnte_cp] - WR(hs.w_cnte_cp, o1))
+    quot = quot + jnp.where(d_ep > 0, d_ep * lm_ep, 0.0)
+    quot = quot + jnp.where(d_cp > 0, d_cp * lm_cp, 0.0)
+
+    # local malus for partially, unevenly supported CDS (nep >= 5)
+    zc = srow[hs.x_zc] - WR(hs.w_zc, o1)
+    lpm = jnp.where(zc > 0, zc * lm_loc, 0.0)
+    lpm = jnp.maximum(lpm, -part_bonus)
+    quot = quot + jnp.where(nep >= 4.5, lpm, 0.0)
+    return quot
 
 
 def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
@@ -297,6 +505,8 @@ def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
         itab = arrays["int_table"]
         NG = G_all.shape[0]
         NCU = cum_all.shape[0]
+
+        n_true = arrays["n_true"]
 
         def step(carry, j):
             vprev, lanes, lane_arg = carry
@@ -322,6 +532,9 @@ def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
                     arrays["lessd_bvalid_all"], (0, j - WB + PAD), (NLD, WB))
                 BSwin = jax.lax.dynamic_slice(
                     arrays["lessd_bstop_all"], (0, j - WB + PAD), (NLD, WB))
+            if st.NHW:
+                HWwin = jax.lax.dynamic_slice(
+                    arrays["hw_all"], (0, j - WB + GPAD), (st.NHW, WB + 64))
 
             put_idx: list = []
             put_val: list = []
@@ -443,8 +656,18 @@ def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
                         widx = jax.lax.iota(jnp.int32, width)
                         b = (j + ecs.a_off - var.len_hi) + widx
                         okb = (b >= smin) & (b <= smax)
+                        if var.vb_lo is not None:
+                            okb &= b >= var.vb_lo
+                        if var.vb_hi is not None:
+                            okb &= b <= var.vb_hi
+                        if ecs.hint is not None:
+                            quot = _hint_quot(st, ecs.hint, HWwin, srow,
+                                              irow, goff, width, b, widx,
+                                              var.len_hi)
+                        else:
+                            quot = jnp.float32(0.0)
                         score = jnp.where(okb & (L > GATE) & (G > GATE),
-                                          L + G + lvd, NEG)
+                                          (L + G + lvd) + quot, NEG)
                         sbest = jnp.max(score)
                         ridx = jnp.max(jnp.where(score == sbest, widx, -1))
                         ridx = jnp.maximum(ridx, 0)
@@ -471,6 +694,9 @@ def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
             vals = jnp.full((S,), NEG).at[idx].set(jnp.stack(put_val))
             bps = jnp.zeros((S,), dtype=jnp.int32).at[idx].set(
                 jnp.stack(put_bp))
+            # padded-bucket tail: freeze the carry past the true length so
+            # v_final is the value at n_true-1 (rows beyond are never read)
+            vals = jnp.where(j < n_true, vals, vprev)
             lane_cand = vals[None, :] + lane_trans
             lane_argj = jnp.argmax(lane_cand, axis=1).astype(jnp.int8)
             lane_valj = jnp.max(lane_cand, axis=1)
@@ -496,14 +722,31 @@ def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
     return fn
 
 
-class ScanEngine:
-    """Single-sequence convenience wrapper around the pure scan function."""
+_FN_CACHE: Dict[ScanStatic, object] = {}
 
-    def __init__(self, tracks: DPTracks):
+
+class ScanEngine:
+    """Single-sequence convenience wrapper around the pure scan function.
+
+    Sequences are padded to bucketed lengths (device.bucket_length) and the
+    compiled scan is cached on the hashable ScanStatic, so runs over many
+    distinct sequence/piece lengths share a handful of compilations.
+    """
+
+    def __init__(self, tracks: DPTracks, bucket: bool = True):
+        from .device import bucket_length, pad_tracks
+        self.n_true = tracks.n
+        if bucket:
+            pad_tracks(tracks, bucket_length(tracks.n))
         self.tracks = tracks
         self.static, self.arrays = split_tracks(tracks)
-        self.n, self.S = tracks.n, tracks.S
-        self._fn = jax.jit(make_scan_fn(self.static))
+        self.arrays["n_true"] = np.int32(self.n_true)
+        self.n, self.S = self.n_true, tracks.S
+        fn = _FN_CACHE.get(self.static)
+        if fn is None:
+            fn = jax.jit(make_scan_fn(self.static))
+            _FN_CACHE[self.static] = fn
+        self._fn = fn
 
     def run(self) -> None:
         v0 = jnp.asarray(self.tracks.log_init)

@@ -92,6 +92,35 @@ def _strand_option(props) -> str:
     return "both"
 
 
+def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
+            need_forward: bool):
+    """Run one Viterbi decode on the requested engine.
+
+    engine:
+      "auto"   — device scan engine (XLA/TPU) with transparent gold
+                 fallback for configurations it does not support;
+                 forward-table runs (sampling/MEA) stay on gold
+      "scan"   — force the device scan engine (raises if unsupported)
+      "gold"   — host float64 oracle
+    """
+    if engine in ("auto", "scan") and not need_forward:
+        from .engine.device import build_tracks, UnsupportedByDevice
+        from .engine.scan import ScanEngine
+        gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
+        try:
+            se = ScanEngine(build_tracks(gold))
+        except UnsupportedByDevice:
+            if engine == "scan":
+                raise
+            gold.run(codes, softmask=softmask, gff_hints=gff_hints)
+            return gold.traceback()
+        se.run()
+        return se.traceback()
+    gold.run(codes, softmask=softmask, gff_hints=gff_hints,
+             need_forward=need_forward)
+    return gold.traceback()
+
+
 def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
                 engine: str, init_synch: bool = False,
                 term_synch: bool = False) -> tuple:
@@ -125,17 +154,8 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
         sample_iters = 1
     need_forward = sample_iters > 1
 
-    if engine == "scan" and not need_forward:
-        from .engine.device import build_tracks
-        from .engine.scan import ScanEngine
-        gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
-        se = ScanEngine(build_tracks(gold))
-        se.run()
-        segments = se.traceback()
-    else:
-        gold.run(codes, softmask=softmask, gff_hints=gff_hints,
-                 need_forward=need_forward)
-        segments = gold.traceback()
+    segments = _decode(gold, codes, softmask, gff_hints, engine,
+                       need_forward)
 
     path = og.condense_path(segments, codes.shape[0])
     genes = og.project_onto_genes(path, cn)
@@ -290,16 +310,7 @@ def _mini_viterbi_path(model, codes, softmask, gff_hints, engine,
                       model.decomp, model.gcode, utr=model.utr,
                       utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
     gold.set_boundaries(init_synch, term_synch)
-    if engine == "scan":
-        from .engine.device import build_tracks
-        from .engine.scan import ScanEngine
-        gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
-        se = ScanEngine(build_tracks(gold))
-        se.run()
-        segments = se.traceback()
-    else:
-        gold.run(codes, softmask=softmask, gff_hints=gff_hints)
-        segments = gold.traceback()
+    segments = _decode(gold, codes, softmask, gff_hints, engine, False)
     return og.condense_path(segments, codes.shape[0])
 
 
@@ -428,7 +439,7 @@ def anno_to_gene(tg, seqname: str):
     return g
 
 
-def evaluate_genbank(model: Model, path: str, engine: str = "gold",
+def evaluate_genbank(model: Model, path: str, engine: str = "auto",
                      argv_comment: Optional[str] = None) -> str:
     """Predict on a GenBank-annotated test set and print accuracy tables
     (reference evaluateOnTestSet, src/augustus.cc:254)."""
@@ -477,7 +488,7 @@ def evaluate_genbank(model: Model, path: str, engine: str = "gold",
 
 
 def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
-                     geneid_start: int = 1, engine: str = "gold",
+                     geneid_start: int = 1, engine: str = "auto",
                      with_header: bool = True) -> tuple:
     """Predict genes on one sequence; returns (gff_text, n_genes).
 
@@ -583,7 +594,7 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     return "\n".join(header) + "\n" + body, total, all_transcripts
 
 
-def predict_file(model: Model, path: str, engine: str = "gold") -> str:
+def predict_file(model: Model, path: str, engine: str = "auto") -> str:
     recs = read_fasta(path)
     props = model.props
     if recs and ("predictionStart" in props or "predictionEnd" in props):
