@@ -251,6 +251,10 @@ class GoldEngine:
             from . import gold_utr
             gold_utr.prepare_utr(self, codes)
 
+        if any(mc == "ncmodel" for mc in self.sg.model_class):
+            from . import gold_nc
+            gold_nc.prepare_nc(self, codes)
+
     # ------------------------------------------------------------------
     def _build_hint_tracks(self) -> None:
         """Per-base hint bonus tracks (igenic adjust, intronpart cums) and
@@ -587,6 +591,8 @@ class GoldEngine:
                 self._kind.append("exon")
             elif mc == "utrmodel":
                 self._kind.append("utr")
+            elif mc == "ncmodel":
+                self._kind.append("nc")
             else:
                 self._kind.append("other")
 
@@ -607,6 +613,9 @@ class GoldEngine:
         if kind == "utr":
             from . import gold_utr
             return gold_utr.utr_cands(self, j, c, s, t, table)
+        if kind == "nc":
+            from . import gold_nc
+            return gold_nc.nc_cands(self, j, c, s, t, table)
         return None
 
     # ------------------------------------------------------------------

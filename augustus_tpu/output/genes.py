@@ -177,7 +177,10 @@ def get_biological_state(st: PathState, cn: Constants) -> PathState:
 
 @dataclass
 class Gene:
-    """A coding transcript (reference class Gene)."""
+    """A transcript: coding (reference class Gene) when ``coding`` is True,
+    else a noncoding transcript (reference class Transcript, exons+introns
+    only)."""
+    coding: bool = True
     exons: List[PathState] = field(default_factory=list)
     introns: List[PathState] = field(default_factory=list)
     utr5exons: List[PathState] = field(default_factory=list)
@@ -563,12 +566,15 @@ def filter_transcripts(genes: List[Gene], codes: np.ndarray, cn: Constants,
             continue
         if g.throwaway:
             continue
-        ifs = has_in_frame_stop(g, codes, gcode)
-        if (g.clength < cn.min_coding_len and g.complete_cds()) or \
-                (ifs and no_in_frame_stop) or \
-                (g.clength < 4 and g.clength < cn.min_coding_len
-                 and not g.complete_cds()):
-            continue
+        if g.coding:
+            # coding-only filters (reference gene.cc:2480-2489 guards with
+            # dynamic_cast<Gene*>)
+            ifs = has_in_frame_stop(g, codes, gcode)
+            if (g.clength < cn.min_coding_len and g.complete_cds()) or \
+                    (ifs and no_in_frame_stop) or \
+                    (g.clength < 4 and g.clength < cn.min_coding_len
+                     and not g.complete_cds()):
+                continue
         if g.has_probs:
             protected = keep_viterbi and g.viterbi
             if g.mean_state_prob() < minmeanexonintronprob and not protected:
@@ -609,6 +615,11 @@ def sort_transcripts(ag: "AltGene") -> None:
     (percentSupported desc, meanStateProb desc)."""
     if len(ag.transcripts) < 2:
         return
+    if any(not tx.coding for tx in ag.transcripts):
+        # reference breaks out of the scan on the first noncoding
+        # transcript ("do not sort noncoding genes (yet)", gene.cc:2766),
+        # which preserves insertion order for nc genes
+        return
     rest = list(ag.transcripts)
     out: List[Gene] = []
     while rest:
@@ -638,13 +649,17 @@ class AltGene:
     has_probs: bool = False
 
     def add(self, g: Gene) -> None:
+        # reference AltGene::addGene (gene.cc:2669): coding transcripts
+        # contribute coding bounds, noncoding ones their transcript bounds
+        start = g.codingstart if g.coding else g.transstart
+        end = g.codingend if g.coding else g.transend
         if not self.transcripts:
             self.strand = g.strand
-            self.mincodstart = g.codingstart
-            self.maxcodend = g.codingend
+            self.mincodstart = start
+            self.maxcodend = end
         else:
-            self.mincodstart = min(self.mincodstart, g.codingstart)
-            self.maxcodend = max(self.maxcodend, g.codingend)
+            self.mincodstart = min(self.mincodstart, start)
+            self.maxcodend = max(self.maxcodend, end)
         self.transcripts.append(g)
         # the final gene score: joinGenesFromPredRuns regroups transcripts
         # via AltGene::addGene which sums member apostprobs (gene.cc:1669);
@@ -657,13 +672,16 @@ class AltGene:
         if not (g.gene_begin() <= self.maxcodend and
                 g.gene_end() >= self.mincodstart):
             return False
+        # coding and noncoding genes never overlap (gene.cc:2717)
+        if self.transcripts and self.transcripts[0].coding != g.coding:
+            return False
         for tx in self.transcripts:
             for ae in tx.exons:
                 for e in g.exons:
                     if not (e.end < ae.begin or e.begin > ae.end):
-                        # frame_compatible check (coding): same frame at a
-                        # common coordinate and same strand
-                        if _frame_compatible(e, ae):
+                        # frame_compatible check applies to coding genes
+                        # only (gene.cc:2725)
+                        if not g.coding or _frame_compatible(e, ae):
                             return True
         return False
 
