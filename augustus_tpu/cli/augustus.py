@@ -41,12 +41,32 @@ def main(argv=None) -> int:
     args, queryfile = parse_argv(argv if argv is not None else sys.argv[1:])
     if queryfile is None and "queryfile" in args:
         queryfile = args.pop("queryfile")
+    # --outfile/--errfile stream redirection (reference augustus.cc:29-33)
+    if "outfile" in args:
+        sys.stdout = open(args.pop("outfile"), "w")
+    if "errfile" in args:
+        sys.stderr = open(args.pop("errfile"), "w")
     if "species" not in args:
         sys.stderr.write("error: no species specified (--species=...)\n")
         return 1
-    if queryfile is None:
+    if queryfile is None and "alnfile" not in args:
         sys.stderr.write("error: no query file\n")
         return 1
+
+    if "alnfile" in args:
+        # comparative (CGP) mode: --treefile --alnfile --speciesfilenames
+        # (reference augustus.cc:129-130 -> CompGenePred::start)
+        from ..cgp import CompGenePred
+        tree = args.pop("treefile")
+        aln = args.pop("alnfile")
+        tbl = args.pop("speciesfilenames")
+        outdir = args.pop("/CompPred/outdir", ".")
+        model = Model.load(args)
+        cgp = CompGenePred(model, tree, aln, tbl, outdir=outdir)
+        cgp.start()
+        sys.stdout.write(HEADER.format(version=__version__))
+        sys.stdout.write(f"# CGP outputs written to {outdir}\n")
+        return 0
 
     from ..io.genbank import detect_format
     fmt = detect_format(queryfile)

@@ -117,6 +117,69 @@ class Properties:
 _ARCH_KEYS = {"genemodel", "UTR", "nc", "singlestrand", "species",
               "AUGUSTUS_CONFIG_PATH"}
 
+# extra CLI names accepted although absent from the JSON registry
+# (the reference also special-cases some, properties.cc:92-96)
+_EXTRA_KEYS = {"species", "AUGUSTUS_CONFIG_PATH", "nc", "queryfile",
+               "transfile", "statecfgfile", "paramlist", "help",
+               "version", "alnfile", "treefile", "speciesfilenames",
+               "dbaccess"}
+
+
+def load_registry(config_path: str):
+    """The canonical flag registry
+    (config/parameters/aug_cmdln_parameters.json, 344 entries; reference
+    Properties::readJSON / checkType, src/properties.cc:560-605).
+    Returns {name: entry} or None when the file is absent."""
+    import json
+    path = os.path.join(config_path, "parameters",
+                        "aug_cmdln_parameters.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        entries = json.load(open(path))
+    except Exception:
+        return None
+    return {e.get("name"): e for e in entries if isinstance(e, dict)}
+
+
+def validate_args(args: Dict[str, str], config_path: str) -> None:
+    """Validate CLI keys against the registry.
+
+    Mirrors the reference's behavior (properties.cc:585-590): an unknown
+    parameter prints an error line on stderr but does not abort; a value
+    outside an enumerated possible_values list raises (properties.cc
+    isPossibleValue -> ProjectError)."""
+    import sys
+    reg = load_registry(config_path)
+    if reg is None:
+        return
+    for k, v in args.items():
+        if k in _EXTRA_KEYS:
+            continue
+        e = reg.get(k)
+        if e is None:
+            sys.stderr.write(f"Error: The parameter {k} is not specified "
+                             "in config file.\n")
+            continue
+        pv = e.get("possible_values")
+        if pv and v not in [str(x) for x in pv]:
+            raise PropertiesError(
+                f"invalid value '{v}' for --{k}; possible values: {pv}")
+        ty = e.get("type")
+        if ty == "int":
+            try:
+                int(v)
+            except ValueError:
+                raise PropertiesError(f"--{k} expects an integer, got '{v}'")
+        elif ty in ("float", "double"):
+            try:
+                float(v)
+            except ValueError:
+                raise PropertiesError(f"--{k} expects a number, got '{v}'")
+        elif ty in ("bool", "boolean"):
+            if v.strip().lower() not in TRUE_STRINGS | FALSE_STRINGS:
+                raise PropertiesError(f"--{k} expects a boolean, got '{v}'")
+
 
 def init_properties(args: Dict[str, str],
                     config_path: Optional[str] = None) -> Properties:
@@ -135,6 +198,7 @@ def init_properties(args: Dict[str, str],
     if config_path and not config_path.endswith(os.sep):
         config_path = config_path + os.sep
     props.config_path = config_path
+    validate_args(args, config_path)
 
     if "species" not in args:
         raise PropertiesError("No species specified")
