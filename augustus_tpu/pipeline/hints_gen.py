@@ -1,0 +1,175 @@
+"""Hint-generation converters.
+
+Reference: scripts/blat2hints.pl (PSL spliced alignments -> exonpart /
+intron hints), scripts/wig2hints.pl (wiggle coverage -> exonpart hints),
+scripts/join_mult_hints.pl (merge identical hints, summing multiplicity)
+and scripts/filterSpliceHints.pl (keep gt/gc-ag introns).
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional, Tuple
+
+MIN_INTRON = 41        # blat2hints.pl defaults
+MAX_INTRON = 350000
+EP_CUTOFF = 10         # trim exonpart hints by this at both ends
+MAX_GAP_LEN = 14       # gaps up to this length are tolerated inside exons
+
+
+def psl_to_hints(lines: Iterable[str], src: str = "E",
+                 priority: int = 4) -> List[str]:
+    """PSL -> hints GFF (reference scripts/blat2hints.pl): block gaps
+    shorter than maxgaplen merge into exonparts; gaps within intron
+    length bounds become intron hints; terminal blocks are trimmed by
+    ep_cutoff."""
+    out: List[str] = []
+    for line in lines:
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 21 or not f[0].isdigit():
+            continue
+        strand = f[8][-1]
+        tname = f[13]
+        qname = f[9]
+        sizes = [int(x) for x in f[18].rstrip(",").split(",")]
+        tstarts = [int(x) for x in f[20].rstrip(",").split(",")]
+        # merge blocks into exon runs, emit introns at large gaps
+        runs: List[Tuple[int, int]] = []
+        introns: List[Tuple[int, int]] = []
+        rb, re_ = tstarts[0], tstarts[0] + sizes[0] - 1
+        for k in range(1, len(sizes)):
+            gap_s = re_ + 1
+            gap_e = tstarts[k] - 1
+            gap = gap_e - gap_s + 1
+            if gap <= MAX_GAP_LEN:
+                re_ = tstarts[k] + sizes[k] - 1
+                continue
+            runs.append((rb, re_))
+            if MIN_INTRON <= gap <= MAX_INTRON:
+                introns.append((gap_s, gap_e))
+            rb, re_ = tstarts[k], tstarts[k] + sizes[k] - 1
+        runs.append((rb, re_))
+        grp = f"grp={qname};pri={priority};src={src}"
+        for (b, e) in runs:
+            b2, e2 = b + EP_CUTOFF, e - EP_CUTOFF
+            if b2 <= e2:
+                out.append(f"{tname}\tb2h\texonpart\t{b2 + 1}\t{e2 + 1}"
+                           f"\t0\t{strand}\t.\t{grp}")
+        for (b, e) in introns:
+            out.append(f"{tname}\tb2h\tintron\t{b + 1}\t{e + 1}\t0"
+                       f"\t{strand}\t.\t{grp}")
+    return out
+
+
+def join_mult_hints(lines: Iterable[str]) -> List[str]:
+    """Merge identical hints, accumulating mult= (reference
+    scripts/join_mult_hints.pl)."""
+    counts: Dict[tuple, int] = defaultdict(int)
+    meta: Dict[tuple, str] = {}
+    for line in lines:
+        if not line.strip() or line.startswith("#"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 9:
+            continue
+        mult = 1
+        rest = []
+        for tok in f[8].split(";"):
+            if tok.startswith("mult="):
+                mult = int(tok[5:])
+            elif tok.startswith("grp="):
+                continue          # grouping is dropped when multiplying
+            else:
+                rest.append(tok)
+        key = (f[0], f[2], f[3], f[4], f[6])
+        counts[key] += mult
+        meta[key] = (f[1], f[5], f[7], ";".join(rest))
+    out = []
+    for key in sorted(counts, key=lambda k: (k[0], int(k[2]), int(k[3]))):
+        seq, typ, s, e, strand = key
+        src2, score, frame, rest = meta[key]
+        attrs = f"mult={counts[key]};" + rest if counts[key] > 1 else rest
+        out.append(f"{seq}\t{src2}\t{typ}\t{s}\t{e}\t{score}\t{strand}"
+                   f"\t{frame}\t{attrs}")
+    return out
+
+
+def wig_to_hints(lines: Iterable[str], width: int = 10, threshold:
+                 float = 2.0, src: str = "W", prune: float = 0.1
+                 ) -> List[str]:
+    """wiggle coverage -> exonpart hints every `width` bases above
+    threshold (reference scripts/wig2hints.pl core behavior)."""
+    out: List[str] = []
+    seq = None
+    start = None
+    step = 1
+    pos = 0
+    run_begin = None
+    last = None
+
+    def flush(endpos):
+        nonlocal run_begin
+        if run_begin is None:
+            return
+        b = run_begin
+        while b + width - 1 <= endpos:
+            out.append(f"{seq}\tw2h\texonpart\t{b}\t{b + width - 1}\t0"
+                       f"\t.\t.\tsrc={src}")
+            b += width
+        run_begin = None
+
+    for line in lines:
+        line = line.strip()
+        if line.startswith("track") or not line:
+            continue
+        if line.startswith("fixedStep"):
+            flush(pos)
+            kv = dict(t.split("=") for t in line.split()[1:])
+            seq = kv["chrom"]
+            pos = int(kv["start"]) - 1
+            step = int(kv.get("step", 1))
+            continue
+        if line.startswith("variableStep"):
+            flush(pos)
+            kv = dict(t.split("=") for t in line.split()[1:])
+            seq = kv["chrom"]
+            step = None
+            continue
+        toks = line.split()
+        if step is None:
+            pos = int(toks[0])
+            val = float(toks[1])
+        else:
+            pos += step
+            val = float(toks[0])
+        if val >= threshold:
+            if run_begin is None:
+                run_begin = pos
+        else:
+            flush(pos - 1)
+    flush(pos)
+    return out
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        sys.stderr.write(
+            "usage: python -m augustus_tpu.pipeline.hints_gen "
+            "{psl2hints|joinmult|wig2hints} < in > out.gff\n")
+        return 1
+    lines = sys.stdin
+    if argv[0] == "psl2hints":
+        print("\n".join(psl_to_hints(lines)))
+    elif argv[0] == "joinmult":
+        print("\n".join(join_mult_hints(lines)))
+    elif argv[0] == "wig2hints":
+        print("\n".join(wig_to_hints(lines)))
+    else:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

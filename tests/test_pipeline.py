@@ -1,0 +1,125 @@
+"""Pipeline-layer tests (reference scripts/ equivalents)."""
+
+import os
+import textwrap
+
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_join_aug_pred_dedups_overlap_genes():
+    """reference scripts/join_aug_pred.pl: identical boundary genes from
+    adjacent chunks collapse; genes are renumbered g1..gN."""
+    from augustus_tpu.pipeline.chunking import join_aug_pred
+    c1 = textwrap.dedent("""\
+        # start gene g1
+        chr1\tAUGUSTUS\tgene\t100\t200\t1\t+\t.\tg1
+        chr1\tAUGUSTUS\tCDS\t100\t200\t.\t+\t0\ttranscript_id "g1.t1"; gene_id "g1";
+        # end gene g1
+        # start gene g2
+        chr1\tAUGUSTUS\tgene\t900\t990\t1\t+\t.\tg2
+        chr1\tAUGUSTUS\tCDS\t900\t990\t.\t+\t0\ttranscript_id "g2.t1"; gene_id "g2";
+        # end gene g2
+        """)
+    c2 = textwrap.dedent("""\
+        # start gene g1
+        chr1\tAUGUSTUS\tgene\t900\t990\t1\t+\t.\tg1
+        chr1\tAUGUSTUS\tCDS\t900\t990\t.\t+\t0\ttranscript_id "g1.t1"; gene_id "g1";
+        # end gene g1
+        # start gene g2
+        chr1\tAUGUSTUS\tgene\t1500\t1600\t1\t+\t.\tg2
+        chr1\tAUGUSTUS\tCDS\t1500\t1600\t.\t+\t0\ttranscript_id "g2.t1"; gene_id "g2";
+        # end gene g2
+        """)
+    out = join_aug_pred([c1, c2])
+    genes = [l for l in out.splitlines() if "\tgene\t" in l]
+    assert len(genes) == 3                      # duplicate dropped
+    assert [g.split("\t")[8] for g in genes] == ["g1", "g2", "g3"]
+    assert 'gene_id "g3"' in out
+
+
+def test_split_and_joblist(tmp_path):
+    from augustus_tpu.pipeline.chunking import make_joblist, split_mfasta
+    fa = tmp_path / "g.fa"
+    fa.write_text(">a\n" + "acgt" * 300 + "\n>b\n" + "ttaa" * 200 + "\n")
+    files = split_mfasta(str(fa), str(tmp_path), min_size=1000)
+    assert len(files) == 2
+    jobs = make_joblist(str(fa), chunk_size=500, overlap=100)
+    assert jobs[0] == ("a", 1, 500)
+    assert jobs[1][0] == "a" and jobs[1][1] == 401
+
+
+def test_psl_to_hints():
+    from augustus_tpu.pipeline.hints_gen import psl_to_hints
+    # one query: two blocks separated by a 1000bp gap (an intron)
+    psl = ("100\t0\t0\t0\t0\t0\t0\t1000\t+\tq1\t100\t0\t100\t"
+           "chr1\t50000\t1000\t2200\t2\t50,50,\t0,50,\t1000,2150,")
+    hints = psl_to_hints([psl])
+    types = [h.split("\t")[2] for h in hints]
+    assert types.count("exonpart") == 2
+    assert types.count("intron") == 1
+    intron = [h for h in hints if "\tintron\t" in h][0].split("\t")
+    assert (int(intron[3]), int(intron[4])) == (1051, 2150)
+
+
+def test_join_mult_hints():
+    from augustus_tpu.pipeline.hints_gen import join_mult_hints
+    lines = [
+        "chr1\tb2h\tintron\t100\t200\t0\t+\t.\tsrc=E;grp=a",
+        "chr1\tb2h\tintron\t100\t200\t0\t+\t.\tsrc=E;grp=b",
+        "chr1\tb2h\tintron\t300\t400\t0\t+\t.\tsrc=E",
+    ]
+    out = join_mult_hints(lines)
+    assert len(out) == 2
+    assert out[0].split("\t")[8].startswith("mult=2")
+
+
+def test_gff2gb_roundtrip(tmp_path):
+    """gff2gbSmallDNA output must be readable by our GenBank reader."""
+    from augustus_tpu.pipeline.trainprep import gff2gb, random_split
+    from augustus_tpu.io.genbank import read_genbank
+    fa = tmp_path / "g.fa"
+    seq = "".join("acgt"[(i * 7) % 4] for i in range(2000))
+    seq = seq[:500] + "atg" + seq[503:900] + "taa" + seq[903:]
+    fa.write_text(">chr1\n" + seq + "\n")
+    gff = tmp_path / "a.gff"
+    gff.write_text(
+        'chr1\ttest\tCDS\t501\t600\t.\t+\t0\ttranscript_id "t1";\n'
+        'chr1\ttest\tCDS\t801\t903\t.\t+\t1\ttranscript_id "t1";\n')
+    out = tmp_path / "out.gb"
+    gff2gb(str(gff), str(fa), flank=100, out=str(out))
+    annos = read_genbank(str(out))
+    assert len(annos) == 1
+    a = annos[0]
+    assert len(a.genes) == 1
+    assert a.genes[0].exons == [(100, 199), (400, 502)]
+    # random split
+    tr, te = random_split(str(out), 0)
+    assert os.path.exists(tr) and os.path.exists(te)
+
+
+def test_gtf2gff3():
+    from augustus_tpu.pipeline.convert import gtf_to_gff3
+    lines = [
+        "chr1\tA\tgene\t1\t10\t.\t+\t.\tg1",
+        "chr1\tA\ttranscript\t1\t10\t.\t+\t.\tg1.t1",
+        'chr1\tA\tCDS\t1\t10\t.\t+\t0\ttranscript_id "g1.t1"; '
+        'gene_id "g1";',
+    ]
+    out = gtf_to_gff3(lines)
+    assert out[0].startswith("##gff-version")
+    assert any("ID=g1.t1;Parent=g1" in l for l in out)
+    assert any("Parent=g1.t1" in l for l in out)
+
+
+def test_metapars_parsing():
+    from augustus_tpu.pipeline.optimize import parse_metapars
+    path = "/root/reference/config/species/generic/generic_metapars.cfg"
+    if not os.path.exists(path):
+        pytest.skip("no reference config")
+    pars = parse_metapars(path)
+    names = [n for n, _ in pars]
+    assert "/Constant/dss_end" in names
+    d = dict(pars)
+    assert "1" in d["/Constant/dss_end"] and "4" in d["/Constant/dss_end"]
