@@ -85,7 +85,8 @@ def run_training(args: Dict[str, str],
         elif name == "igenicmodel":
             trainers[name] = IGenicTrainer(props, cn)
         elif name == "utrmodel":
-            trainers[name] = None   # UTR training: later milestone
+            from .utr import UtrTrainer
+            trainers[name] = UtrTrainer(props, cn)
         else:
             trainers[name] = None
 
@@ -106,7 +107,11 @@ def run_training(args: Dict[str, str],
             if t is None:
                 continue
             t.build(singles)
-            t.store_gc(idx)
+            if name == "utrmodel":
+                # storeGCPars mixes with the intron chain (utrtrain.cc:860)
+                t.store_gc(idx, trainers.get("intronmodel"))
+            else:
+                t.store_gc(idx)
 
     # write parameter files
     bcs = [decomp.comps[i] for i in range(n_classes)]
@@ -129,6 +134,11 @@ def run_training(args: Dict[str, str],
         tie = props.get_bool("tieIgenicIntron", True)
         pbl_write.write_igenic_pbl(ig, bcs, path, intron=intr,
                                    tie_igenic_intron=tie)
+    ut = trainers.get("utrmodel")
+    if ut is not None:
+        path = os.path.join(sp_dir, props.get("/UtrModel/outfile"))
+        print("Writing UTR model parameters [1] to file %s." % path)
+        pbl_write.write_utr_pbl(ut, bcs, path)
 
 
 def main(argv: List[str] = None) -> int:

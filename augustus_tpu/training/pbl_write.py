@@ -291,3 +291,126 @@ def write_igenic_pbl(t: IGenicTrainer, bcs, out_path: str,
             L.append("%s\t%s" % (seq_inv(i, k + 1, upper=True), G(em[i], 4)))
     with open(out_path, "w") as fh:
         fh.write("\n".join(L) + "\n")
+
+
+def write_utr_pbl(t, bcs, out_path: str) -> None:
+    """UTR model .pbl writer (reference UtrModel::printProbabilities,
+    src/utrtrain.cc:883-1016)."""
+    k = t.k
+    L: List[str] = []
+    n_idx = len(t.gc_utr5)
+    for idx in range(n_idx):
+        if idx == 0:
+            L.append("# UTR model parameters")
+            L.append("# begin of content independent part")
+            L.append("")
+            L.append("# Length distributions")
+            L.append("[UTRLENGTH]")
+            L.append("# maximal individually stored length probability d=")
+            L.append(str(t.exonLenD))
+            L.append("# slope of smoothing bandwidth =")
+            L.append(G(t.slope, 6))
+            L.append("# smoothing minwindowcount =")
+            L.append(str(t.minwindowcount))
+            L.append("# length 5' sing  5' init  5' int  5' term  3' sing"
+                     "  3' init  3' int  3' term ")
+            L.append("# total number of exons of above types")
+            keys = ("5s", "5i", "5n", "5t", "3s", "3i", "3n", "3t")
+            L.append("".join(setw(str(t.num[key]), 10) for key in keys))
+            L.append("# number of exons exceeding length d=%d" % t.exonLenD)
+            L.append("".join(setw(str(t.num_huge[key]), 10)
+                             for key in keys))
+            L.append("# 1000 P(len=k), k=0,1,..., %d" % t.exonLenD)
+            for i in range(t.exonLenD + 1):
+                L.append(str(i) + "".join(
+                    "\t" + G(1000 * t.len_dists[key][i]) for key in keys))
+            L.append("#")
+            L.append("# AATAAA/TGTAA box probabilities")
+            L.append("[AATAAA]")
+            L.append("# Size of vector")
+            L.append(str(t.aataaa_probs.shape[0]))
+            L.append("# Probabilities")
+            for i in range(t.aataaa_probs.shape[0]):
+                if t.aataaa_probs[i] > 0.0:
+                    L.append("%s\t%s" % (seq_inv(i, t.boxlen),
+                                         G(t.aataaa_probs[i])))
+            L.append("# end of content independent part")
+        L.append("[%d]" % (idx + 1))
+        L.append("# (a,c,g,t)= " + _bc_str(bcs[idx]))
+        L.append("#")
+        L.append("# Probabilities file for the UTR model")
+        L.append("#")
+        L.append("#")
+        L.append("")
+        L.append("#")
+        L.append("# The emission probabilities of single and initial"
+                 " 5' UTR exons")
+        L.append("#")
+        L.append("[EMISSION-5INITIAL]")
+        L.append("# size of the emission vector")
+        L.append(str(t.gc_utr5init[idx].shape[0]))
+        L.append("#k=")
+        L.append(str(k))
+        L.append("# patpseudo : pseudocount for sequence patterns")
+        L.append(G(t.patpseudo))
+        for i in range(t.gc_utr5init[idx].shape[0]):
+            L.append("%s\t%s" % (seq_inv(i, k + 1), G(t.gc_utr5init[idx][i])))
+        L.append("")
+        L.append("#")
+        L.append("# The emission probabilities of internal and terminal"
+                 " 5' UTR exons")
+        L.append("#")
+        L.append("[EMISSION-5]")
+        L.append("# size of the emission vector")
+        L.append(str(t.gc_utr5[idx].shape[0]))
+        L.append("#k=")
+        L.append(str(k))
+        L.append("# patpseudo : pseudocount for sequence patterns")
+        L.append(G(t.patpseudo))
+        for i in range(t.gc_utr5[idx].shape[0]):
+            L.append("%s\t%s" % (seq_inv(i, k + 1), G(t.gc_utr5[idx][i])))
+        L.append("")
+        L.append("#")
+        L.append("# The emission probabilities of 3' UTR exons")
+        L.append("#")
+        L.append("[EMISSION-3]")
+        L.append("# size of the emission vector")
+        L.append(str(t.gc_utr3[idx].shape[0]))
+        L.append("#k=")
+        L.append(str(k))
+        L.append("# patpseudo : pseudocount for sequence patterns")
+        L.append(G(t.patpseudo))
+        for i in range(t.gc_utr3[idx].shape[0]):
+            L.append("%s\t%s" % (seq_inv(i, k + 1), G(t.gc_utr3[idx][i])))
+        L.append("")
+        L.append("#")
+        L.append("# The emission probabilities of the tss upwindow")
+        L.append("#")
+        L.append("[EMISSION-TSSUPWIN]")
+        L.append("# size of the emission vector")
+        L.append(str(t.gc_tssup[idx].shape[0]))
+        L.append("#tssup_k=")
+        L.append(str(t.tssup_k))
+        L.append("# patpseudo : pseudocount for sequence patterns")
+        L.append(G(t.tssup_patpseudo))
+        for i in range(t.gc_tssup[idx].shape[0]):
+            L.append("%s\t%s" % (seq_inv(i, t.tssup_k + 1),
+                                 G(t.gc_tssup[idx][i])))
+        L.append("")
+        L.append("# motif around the TSS of TATA-less promoters")
+        L.append("[TSSMOTIF]")
+        t.gc_tss_motif[idx].write(L)
+        L.append("")
+        L.append("# motif around the TSS of TATA promoters")
+        L.append("[TSSMOTIFTATA]")
+        t.gc_tss_motif_tata[idx].write(L)
+        L.append("")
+        L.append("# tata box motif ")
+        L.append("[TATAMOTIF]")
+        t.gc_tata_motif[idx].write(L)
+        L.append("")
+        L.append("# motif after polyA signal")
+        L.append("[TTSMOTIF]")
+        t.gc_tts_motif[idx].write(L)
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(L) + "\n")

@@ -76,3 +76,33 @@ def test_split_single_gene_seqs():
         g = s.genes[0]
         assert g.strand == "+"
         assert 0 <= g.codingstart <= g.codingend < s.length
+
+
+@pytest.fixture(scope="module")
+def utr_trained_species(tmp_path_factory):
+    """Train with --UTR=on on a small mRNA-annotated set (the reference
+    binary run that produced the golden: etraining tests/data/utrtrain.gb
+    --species=usp --UTR=on)."""
+    if not has_reference():
+        pytest.skip("reference data not available")
+    from augustus_tpu.training.new_species import create_species
+    from augustus_tpu.training.etraining import run_training
+
+    cfg = tmp_path_factory.mktemp("ucfg")
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "species", "generic"),
+                    cfg / "species" / "generic")
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "model"), cfg / "model")
+    create_species("usp", str(cfg), silent=True)
+    gb = os.path.join(os.path.dirname(__file__), "data", "utrtrain.gb")
+    run_training({"species": "usp", "AUGUSTUS_CONFIG_PATH": str(cfg),
+                  "UTR": "on", "queryfile": gb})
+    return cfg / "species" / "usp"
+
+
+def test_utr_training_byte_exact(utr_trained_species):
+    """UtrModel::buildModel parity (src/utrtrain.cc): TSS/TTS models,
+    length distributions, UTR emission chains — byte-exact .pbl."""
+    got = open(utr_trained_species / "usp_utr_probs.pbl").read()
+    with gzip.open(os.path.join(DATA, "utr_probs.pbl.gz"), "rt") as fh:
+        want = fh.read()
+    assert got == want
