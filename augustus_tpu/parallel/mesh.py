@@ -62,3 +62,79 @@ def stack_arrays(array_list: List[Dict]) -> Dict:
     """Stack per-chunk arrays pytrees along a new leading axis."""
     return jax.tree_util.tree_map(
         lambda *xs: np.stack(xs), *array_list)
+
+
+# ---------------------------------------------------------------------------
+# Production piece-parallel decoding (used by predict.predict_sequence):
+# the pieces of a long sequence (after synch-point cutting) are independent
+# DPs; decode them as a sharded batch over the device mesh instead of a
+# sequential loop.  Reference equivalent: createAugustusJoblist.pl chunk
+# lists + join_aug_pred.pl merge, here with in-process equality to the
+# sequential path (same scan fn, same arrays).
+# ---------------------------------------------------------------------------
+
+
+def decode_pieces(model, piece_inputs, engine: str = "auto"):
+    """Decode many sequence pieces as sharded batches.
+
+    piece_inputs: list of dicts with keys codes, softmask, gff_hints,
+    init_synch, term_synch.  Returns a list of (segments, gold_engine)
+    parallel to piece_inputs — gold engines carry the hint state the
+    postprocessing needs.  Falls back to None entries when a piece cannot
+    run on the batched scan path (caller decodes those sequentially).
+    """
+    from ..engine.gold import GoldEngine
+    from ..engine.device import build_tracks, bucket_length, pad_tracks, \
+        UnsupportedByDevice
+    from ..engine.scan import split_tracks, ScanEngine
+
+    results = [None] * len(piece_inputs)
+    golds = [None] * len(piece_inputs)
+    groups: Dict[object, List[int]] = {}
+    packed = [None] * len(piece_inputs)
+    for i, pi in enumerate(piece_inputs):
+        gold = GoldEngine(model.sg, model.cn, model.igp, model.exp,
+                          model.inp, model.decomp, model.gcode,
+                          utr=model.utr, utr_cfg=model.utr_cfg,
+                          ext_cfg=model.ext_cfg)
+        gold.set_boundaries(pi["init_synch"], pi["term_synch"])
+        gold.prepare(pi["codes"], softmask=pi["softmask"],
+                     gff_hints=pi["gff_hints"])
+        golds[i] = gold
+        try:
+            tracks = build_tracks(gold)
+        except UnsupportedByDevice:
+            gold.run(pi["codes"], softmask=pi["softmask"],
+                     gff_hints=pi["gff_hints"])
+            results[i] = gold.traceback()
+            continue
+        n_true = tracks.n
+        pad_tracks(tracks, bucket_length(tracks.n))
+        static, arrays = split_tracks(tracks)
+        arrays["n_true"] = np.int32(n_true)
+        packed[i] = (tracks, static, arrays, n_true)
+        groups.setdefault(static, []).append(i)
+
+    n_dev = jax.device_count()
+    for static, idxs in groups.items():
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        batch = idxs[:]
+        while len(batch) % n_dev:
+            batch.append(idxs[-1])          # pad with a repeat
+        arrs = stack_arrays([packed[i][2] for i in batch])
+        v0 = np.stack([np.asarray(packed[i][0].log_init)
+                       for i in batch])
+        fn = make_batched_fn(static, mesh)
+        vfin, bps, _, _ = fn(arrs, v0)
+        vfin = np.asarray(vfin)
+        bps = np.asarray(bps)
+        for k, i in enumerate(idxs):
+            se = ScanEngine.__new__(ScanEngine)
+            tracks = packed[i][0]
+            se.tracks = tracks
+            se.n_true = packed[i][3]
+            se.n, se.S = packed[i][3], tracks.S
+            se.v_final = vfin[k]
+            se.backptr = bps[k]
+            results[i] = se.traceback()
+    return list(zip(results, golds))

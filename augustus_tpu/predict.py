@@ -97,23 +97,43 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
     """Run one Viterbi decode on the requested engine.
 
     engine:
-      "auto"   — device scan engine (XLA/TPU) with transparent gold
-                 fallback for configurations it does not support;
-                 forward-table runs (sampling/MEA) stay on gold
-      "scan"   — force the device scan engine (raises if unsupported)
+      "auto"   — Pallas TPU kernel (fast path) with transparent fallback
+                 to the XLA scan engine (chunks the kernel cannot take,
+                 e.g. a GC-class change inside a block) and to the gold
+                 host engine (state architectures without device tracks,
+                 e.g. ncmodel); forward-table runs (sampling/MEA) stay
+                 on gold
+      "pallas" — force the Pallas kernel (raises if unsupported)
+      "scan"   — force the XLA scan engine (raises if unsupported)
       "gold"   — host float64 oracle
     """
-    if engine in ("auto", "scan") and not need_forward:
+    if engine in ("auto", "pallas", "scan") and not need_forward:
         from .engine.device import build_tracks, UnsupportedByDevice
         from .engine.scan import ScanEngine
+        from .engine.pallas_pack import PallasFallback
         gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
         try:
-            se = ScanEngine(build_tracks(gold))
+            tracks = build_tracks(gold)
         except UnsupportedByDevice:
-            if engine == "scan":
+            if engine != "auto":
                 raise
             gold.run(codes, softmask=softmask, gff_hints=gff_hints)
             return gold.traceback()
+        if engine != "scan":
+            from .engine.pallas_scan import PallasEngine
+            import jax
+            try:
+                if jax.devices()[0].platform == "cpu":
+                    # the kernel targets the TPU Mosaic backend; interpret
+                    # mode is far slower than the XLA scan on CPU
+                    raise PallasFallback("no TPU device")
+                pe = PallasEngine(tracks)
+                pe.run()
+                return pe.traceback()
+            except PallasFallback:
+                if engine == "pallas":
+                    raise
+        se = ScanEngine(tracks)
         se.run()
         return se.traceback()
     gold.run(codes, softmask=softmask, gff_hints=gff_hints,
@@ -123,16 +143,22 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
 
 def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
                 engine: str, init_synch: bool = False,
-                term_synch: bool = False) -> tuple:
+                term_synch: bool = False, precomputed=None) -> tuple:
     """Run the DP + sampling + filtering on one sequence piece; returns
     (agl, gold) with piece-local coordinates (reference NAMGene::findGenes,
-    namgene.cc:763)."""
+    namgene.cc:763).
+
+    precomputed: optional (segments, gold) pair from the mesh-parallel
+    piece decoder (parallel.mesh.decode_pieces) — skips the local DP."""
     cn = model.cn
     props = model.props
-    gold = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
-                      model.decomp, model.gcode, utr=model.utr,
-                      utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
-    gold.set_boundaries(init_synch, term_synch)
+    if precomputed is not None:
+        gold = precomputed[1]
+    else:
+        gold = GoldEngine(model.sg, cn, model.igp, model.exp, model.inp,
+                          model.decomp, model.gcode, utr=model.utr,
+                          utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
+        gold.set_boundaries(init_synch, term_synch)
 
     # sampling configuration (reference namgene.cc:54-92,768)
     sample_iters = props.get_int("sample", 0)
@@ -154,8 +180,11 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
         sample_iters = 1
     need_forward = sample_iters > 1
 
-    segments = _decode(gold, codes, softmask, gff_hints, engine,
-                       need_forward)
+    if precomputed is not None and not need_forward:
+        segments = precomputed[0]
+    else:
+        segments = _decode(gold, codes, softmask, gff_hints, engine,
+                           need_forward)
 
     path = og.condense_path(segments, codes.shape[0])
     genes = og.project_onto_genes(path, cn)
@@ -543,18 +572,48 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
     # before the loop re-assigns initProbs/termProbs, namgene.cc:576-604)
     prev_init_synch = prev_term_synch = False
     any_evidence = False
+    # ---- phase 1: piece boundaries (cut-point searches) ----------------
+    pieces = []
     while begin < n:
         end = _next_cut_end_point(model, codes, softmask, gff_hints, begin,
                                   maxstep, engine, prev_init_synch,
                                   prev_term_synch)
         init_synch = begin > 0
         term_synch = end < n - 1
+        pieces.append((begin, end, init_synch, term_synch))
+        prev_init_synch, prev_term_synch = init_synch, term_synch
+        begin = end + 1
+
+    # ---- phase 2: optional mesh-parallel piece decode ------------------
+    # pieces are independent DPs once the cut points are fixed; on a
+    # multi-device mesh decode them as a sharded batch (reference scales
+    # the same way with cluster chunk lists, createAugustusJoblist.pl)
+    precomputed = [None] * len(pieces)
+    import jax
+    if (engine in ("auto", "scan") and len(pieces) > 1
+            and props.get_bool("pieceParallel", True)
+            and jax.device_count() > 1
+            and not props.get_bool("mea", False)
+            and props.get_int("sample", 0) <= 1):
+        from .parallel.mesh import decode_pieces
+        piece_inputs = []
+        for (pb, pe, isyn, tsyn) in pieces:
+            piece_inputs.append({
+                "codes": codes[pb: pe + 1],
+                "softmask": softmask[pb: pe + 1]
+                if softmask is not None else None,
+                "gff_hints": _piece_hints(gff_hints, pb, pe),
+                "init_synch": isyn, "term_synch": tsyn})
+        precomputed = decode_pieces(model, piece_inputs, engine)
+
+    # ---- phase 3: per-piece gene finding + output ----------------------
+    for pidx, (begin, end, init_synch, term_synch) in enumerate(pieces):
         sub_codes = codes[begin: end + 1]
         sub_mask = softmask[begin: end + 1] if softmask is not None else None
         sub_hints = _piece_hints(gff_hints, begin, end)
         agl, gold = _find_genes(model, sub_codes, sub_mask, sub_hints,
-                                engine, init_synch, term_synch)
-        prev_init_synch, prev_term_synch = init_synch, term_synch
+                                engine, init_synch, term_synch,
+                                precomputed=precomputed[pidx])
         with_evidence = bool(getattr(gold, "has_hints", False)) or \
             gff_hints is not None
         any_evidence = any_evidence or with_evidence
@@ -575,7 +634,6 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
             bodies.append(og.print_gene_list(
                 agl, codes, o, model.gcode, with_evidence=with_evidence,
                 seq_offset=offset))
-        begin = end + 1
 
     header = [
         f"#",

@@ -122,7 +122,7 @@ _ARCH_KEYS = {"genemodel", "UTR", "nc", "singlestrand", "species",
 _EXTRA_KEYS = {"species", "AUGUSTUS_CONFIG_PATH", "nc", "queryfile",
                "transfile", "statecfgfile", "paramlist", "help",
                "version", "alnfile", "treefile", "speciesfilenames",
-               "dbaccess"}
+               "dbaccess", "pieceParallel"}
 
 
 def load_registry(config_path: str):
