@@ -1,0 +1,98 @@
+"""Alternatives-from-evidence machinery (reference extrinsicinfo.hh:37-71
+PredictionScheme/PredictionRun, extrinsicinfo.cc:1378 createPredictionScheme,
+namgene.cc:681 getStepGenes)."""
+
+import os
+
+import pytest
+
+from conftest import REFERENCE_CONFIG, has_reference
+
+pytestmark = pytest.mark.skipif(not has_reference(),
+                                reason="reference config tree not available")
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _groups(hint_lines):
+    from augustus_tpu.hints import config as hc
+    from augustus_tpu.hints.system import parse_gff_hints, SeqHints
+    import tempfile
+    cfg = hc.read_extrinsic_cfg(os.path.join(
+        REFERENCE_CONFIG, "extrinsic", "extrinsic.MPE.cfg"))
+    with tempfile.NamedTemporaryFile("w", suffix=".gff",
+                                     delete=False) as fh:
+        fh.write("\n".join(hint_lines) + "\n")
+        path = fh.name
+    feats = parse_gff_hints(path, cfg)["chr1"]
+    import numpy as np
+    from augustus_tpu import genetics
+    codes = genetics.encode("a" * 5000)
+    return SeqHints(feats, cfg, codes)
+
+
+def test_incompatible_groups_detected():
+    from augustus_tpu.hints.alternatives import inter_group_relations
+    sh = _groups([
+        "chr1\ta\tintron\t583\t811\t0\t+\t.\tgrp=A;pri=4;src=M",
+        "chr1\ta\tintron\t583\t1052\t0\t+\t.\tgrp=B;pri=4;src=M",
+    ])
+    assert len(sh.groups) == 2
+    incomp, stronger = inter_group_relations(sh.groups)
+    g1, g2 = sh.groups
+    assert incomp[id(g1)] == [g2]
+    assert incomp[id(g2)] == [g1]
+
+
+def test_prediction_scheme_runs():
+    """Two incompatible alt-splice-causing groups -> one extra run per
+    group with the other group omitted; intervals are padded and snapped
+    to multiples of 10 (extrinsicinfo.cc:1470-1480)."""
+    from augustus_tpu.hints.alternatives import create_prediction_scheme
+    sh = _groups([
+        "chr1\ta\tintron\t583\t811\t0\t+\t.\tgrp=A;pri=4;src=M",
+        "chr1\ta\tintron\t583\t1052\t0\t+\t.\tgrp=B;pri=4;src=M",
+    ])
+    runs = create_prediction_scheme(sh, [], 5000)
+    assert len(runs) == 2
+    for r in runs:
+        assert len(r.omitted) == 1
+        assert r.begin % 10 == 0 and r.begin >= 0 and r.end <= 4999
+
+
+def test_overruled_group_gets_no_run():
+    """A group incompatible with a HIGHER priority group is overruled
+    (extrinsicinfo.cc:1389-1393)."""
+    from augustus_tpu.hints.alternatives import create_prediction_scheme
+    sh = _groups([
+        "chr1\ta\tintron\t583\t811\t0\t+\t.\tgrp=A;pri=5;src=M",
+        "chr1\ta\tintron\t583\t1052\t0\t+\t.\tgrp=B;pri=4;src=M",
+    ])
+    runs = create_prediction_scheme(sh, [], 5000)
+    # only A (the higher-priority group) causes a run
+    assert len(runs) == 1
+    assert runs[0].omitted[0].hints[0].end + 1 == 1052   # group B omitted
+
+
+@pytest.mark.slow
+def test_alternatives_end_to_end():
+    """--alternatives-from-evidence=true runs the multi-run scheme and
+    produces a consistent single-gene output on conflicting intron hints
+    (the surviving transcript uses one of the two hinted introns)."""
+    import tempfile
+    from augustus_tpu.predict import Model, predict_file
+    hints = tempfile.NamedTemporaryFile("w", suffix=".gff", delete=False)
+    hints.write("HS08198\ta\tintron\t583\t811\t0\t+\t.\tgrp=A;pri=4;src=M\n"
+                "HS08198\ta\tintron\t583\t1052\t0\t+\t.\tgrp=B;pri=4;src=M\n")
+    hints.close()
+    model = Model.load({
+        "species": "human", "AUGUSTUS_CONFIG_PATH": REFERENCE_CONFIG,
+        "softmasking": "0", "UTR": "off",
+        "alternatives-from-evidence": "true",
+        "hintsfile": hints.name,
+        "extrinsicCfgFile": os.path.join(
+            REFERENCE_CONFIG, "extrinsic", "extrinsic.MPE.cfg")})
+    out = predict_file(model, os.path.join(DATA, "HS08198.fa"),
+                       engine="auto")
+    lines = [l for l in out.splitlines() if "\tintron\t" in l]
+    assert any(("583\t811" in l) or ("583\t1052" in l) for l in lines)

@@ -48,11 +48,11 @@ def test_nc_hints_noncoding_transcript_exact():
     """tss/tts/exon hints make the nc exon states fire; the reference
     predicts a noncoding_transcript (gene.cc:1285 Transcript::printGFF)."""
     got = normalize(run_nc(
-        "/root/reference/examples/example.fa",
+        os.path.join(DATA, "HS04636.fa"),
         hintsfile=os.path.join(DATA, "nc_hints.gff"),
         extrinsicCfgFile=os.path.join(
             REFERENCE_CONFIG, "extrinsic", "extrinsic.MPE.cfg")))
     want = normalize(open(os.path.join(
-        DATA, "golden_human_nc_hints_example.gff")).read())
+        DATA, "golden_human_nc_hints_HS04636.gff")).read())
     assert any("noncoding_transcript" in l for l in want)
     assert got == want
