@@ -18,10 +18,18 @@ __version__ = "0.2.0"
 
 import os as _os
 
-# Persistent XLA compilation cache: the scan kernels take tens of seconds
-# to compile; cache them across CLI invocations (JAX skips entries
-# transparently when the program or platform changes).
-if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.join(
-        _os.path.expanduser("~"), ".cache", "augustus_tpu", "xla")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# Persistent XLA compilation cache: the scan kernels take minutes to
+# compile; cache them across CLI invocations (JAX skips entries
+# transparently when the program or platform changes).  The env-var route
+# does NOT work here: site customization may import jax before this
+# package, and jax reads its config env vars at import time — so set the
+# already-imported config directly.
+import jax as _jax
+
+if _jax.config.jax_compilation_cache_dir is None:
+    _cache = _os.environ.get(
+        "AUGUSTUS_TPU_XLA_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      "augustus_tpu", "xla"))
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

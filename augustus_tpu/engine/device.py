@@ -54,15 +54,17 @@ def _f32(x) -> np.ndarray:
     """Sanitize -inf/nan to F32_NEG.  Kept in float64: the final float32
     conversion happens in _finalize_tracks AFTER the baseline rebase, so
     large-magnitude path scores are rounded only once, near zero."""
-    y = np.asarray(x, dtype=np.float64).copy()
-    y[~np.isfinite(y)] = float(F32_NEG)
-    return np.clip(y, float(F32_NEG), None)
+    y = np.array(x, dtype=np.float64)
+    np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG))
+    np.maximum(y, float(F32_NEG), out=y)
+    return y
 
 
 def _c32(x) -> np.ndarray:
-    y = np.asarray(x, dtype=np.float64)
-    y = np.where(np.isfinite(y), y, float(F32_NEG))
-    return np.clip(y, float(F32_NEG), None).astype(np.float32)
+    y = np.array(x, dtype=np.float64)
+    np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG))
+    np.maximum(y, float(F32_NEG), out=y)
+    return y.astype(np.float32)
 
 
 class Pool:
@@ -461,7 +463,9 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             tr.exon_conv.append(
                 _build_exon_conv(eng, s, t, lane, frame_mode, pool))
         else:
-            raise NotImplementedError(f"state type {t}")
+            # state architectures without device tracks (e.g. ncmodel):
+            # predict._decode catches this and falls back to the gold engine
+            raise UnsupportedByDevice(f"state type {t}")
 
     NL = len(lane_rows)
     tr.n_lanes = NL
@@ -490,7 +494,9 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
     """
     n = tr.n
     stairs = tr.stairs.astype(np.int64)
-    igj = np.array([eng.ig_track[int(stairs[j])][j] for j in range(n)])
+    ig_all = np.stack([np.asarray(eng.ig_track[c])
+                       for c in range(len(eng.inp.gc))])
+    igj = ig_all[stairs, np.arange(n)]
     base = np.zeros(n)
     if n > 1:
         base[1:] = np.cumsum(igj[1:])
@@ -703,29 +709,36 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int
 
     eop_arr = np.full(n, -1, dtype=np.int32)
     score = np.full((C, n), NEG_INF)
-    for jj in feas.tolist():
-        end_of_bio = jj + g.base_offset
+    if feas.size:
+        # vectorized over all feasible end positions (chunked so the hint
+        # overlap query in _exon_part_quot stays local)
+        end_of_bio = feas + g.base_offset
         right = end_of_bio - g.inner_part_end_offset
-        if right < 0:
-            continue
-        frame_of_right = (g.win + end_of_bio + 1 - right) % 3
-        eon = min(end_of_bio, n - 1)
+        # frame_of_right == (win + base_offset + 1 - ... ) is constant
+        frame_of_right = int((g.win + g.inner_part_end_offset + 1) % 3)
+        eon = np.minimum(end_of_bio, n - 1)
         f_eon = (g.win + 1 + end_of_bio - eon) % 3
-        orf_left = int(T.leftmost_exon_begin(eng.orf, f_eon, eon, False,
-                                             cn, n))
+        orf_left = np.asarray(T.leftmost_exon_begin(
+            eng.orf, f_eon, eon, False, cn, n), dtype=np.int64)
         b = orf_left + 2
         eop = b - g.begin_part_len - 1
-        if eop >= n:
-            continue
-        bs = np.array([b])
-        for c in range(C):
-            if ends[c][jj] == NEG_INF:
-                continue
-            val = eng._not_end_part(t, c, g, bs, right, frame_of_right)[0]
-            if val > NEG_INF:
-                score[c, jj] = val + ends[c][jj]
-        if (score[:, jj] > NEG_INF).any():
-            eop_arr[jj] = eop
+        keep = (right >= 0) & (eop < n)
+        feas, b, right, eop = feas[keep], b[keep], right[keep], eop[keep]
+        CHK = 2048
+        for o in range(0, feas.shape[0], CHK):
+            fj = feas[o: o + CHK]
+            bk = b[o: o + CHK]
+            rk = right[o: o + CHK]
+            for c in range(C):
+                sel = ends[c][fj] > NEG_INF
+                if not sel.any():
+                    continue
+                vals = eng._not_end_part(t, c, g, bk[sel], rk[sel],
+                                         frame_of_right)
+                score[c, fj[sel]] = np.where(
+                    vals > NEG_INF, vals + ends[c][fj[sel]], NEG_INF)
+        ok = (score[:, feas] > NEG_INF).any(axis=0)
+        eop_arr[feas[ok]] = eop[ok]
     return ExonPinnedState(state=s, lane=lane, eop=eop_arr,
                            score=_f32(score))
 
@@ -905,33 +918,29 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
                                     len_hi=len_hi, lenvec=_f32(lv)))
 
     def initpat_fwd_c(c):
-        ids = genetics.kmer_ids(codes, k)
+        ids = eng.kmer_ids_full(k)
         out = np.full((3, n), k * log_nc)
         sel = np.arange(ids.shape[0])
         ok = ids >= 0
-        pls = eng.exp.gc[c].pls[k - 1]
+        lpls = eng.log_pls(c, k - 1)     # log gathered, not recomputed
+        idc = np.where(ok, ids, 0)
         for phi in range(3):
             frame_ip = (phi + sel + k - 1) % 3
-            vals = np.where(ok, pls[frame_ip, np.where(ok, ids, 0)], 0.0)
             out[phi, : ids.shape[0]] = np.where(
-                ok, np.where(vals > 0,
-                             np.log(np.maximum(vals, 1e-300)), NEG_INF),
-                k * log_nc)
+                ok, lpls[frame_ip, idc], k * log_nc)
         return out
 
     def initpat_rev_c(c):
-        rids = genetics.rc_kmer_ids(codes, k)
+        rids = eng.rc_kmer_ids_full(k)
         out = np.full((3, n), k * log_nc)
         sel = np.arange(rids.shape[0])
         ok = rids >= 0
-        pls = eng.exp.gc[c].pls[k - 1]
+        lpls = eng.log_pls(c, k - 1)
+        idc = np.where(ok, rids, 0)
         for phi in range(3):
             frame_ip = (phi - sel) % 3
-            vals = np.where(ok, pls[frame_ip, np.where(ok, rids, 0)], 0.0)
             out[phi, : rids.shape[0]] = np.where(
-                ok, np.where(vals > 0,
-                             np.log(np.maximum(vals, 1e-300)), NEG_INF),
-                k * log_nc)
+                ok, lpls[frame_ip, idc], k * log_nc)
         return out
 
     def micro_track(m):
@@ -939,18 +948,16 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         state's constant frame(+m on reverse), plus endPart."""
         per_c = []
         if fwd:
-            ids = genetics.kmer_ids(codes, m + 1)
+            ids = eng.kmer_ids_full(m + 1)
             frame = frc
         else:
-            ids = genetics.rc_kmer_ids(codes, m + 1)
+            ids = eng.rc_kmer_ids_full(m + 1)
             frame = (frc + m) % 3
         ok = ids >= 0
+        idc = np.where(ok, ids, 0)
         for c in range(C):
-            plsm = eng.exp.gc[c].pls[m][frame]
-            vv = np.where(ok, plsm[np.where(ok, ids, 0)], 0.0)
-            v2 = np.where(ok, np.where(vv > 0,
-                                       np.log(np.maximum(vv, 1e-300)),
-                                       NEG_INF), (m + 1) * log_nc)
+            lplsm = eng.log_pls(c, m)[frame]
+            v2 = np.where(ok, lplsm[idc], (m + 1) * log_nc)
             track = np.full(n, NEG_INF)
             pstart = right - m
             okr = (pstart >= 0) & (pstart <= n - (m + 1))

@@ -169,6 +169,7 @@ class GoldEngine:
         cn, n = self.cn, codes.shape[0]
         self.codes = codes
         self.n = n
+        self._kmer_full: Dict[tuple, np.ndarray] = {}
         self.has_hints = False
         self.hints = None
         feats = []
@@ -514,6 +515,40 @@ class GoldEngine:
         self.dss_site_adj_m = site_adj("dss", "-")
         self.ass_site_adj_p = site_adj("ass", "+")
         self.ass_site_adj_m = site_adj("ass", "-")
+
+    def log_pls(self, c: int, m: int) -> np.ndarray:
+        """log of exp.gc[c].pls[m], 0 -> NEG_INF (cached on the shared
+        ExonParams so all pieces of a run reuse it; bitwise equal to
+        np.log(np.maximum(v, 1e-300)) on the positive entries)."""
+        cache = getattr(self.exp, "_log_pls_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                self.exp._log_pls_cache = cache
+            except Exception:
+                pass
+        key = (c, m)
+        if key not in cache:
+            v = self.exp.gc[c].pls[m]
+            out = np.full(v.shape, NEG_INF)
+            nz = v > 0
+            out[nz] = np.log(np.maximum(v[nz], 1e-300))
+            cache[key] = out
+        return cache[key]
+
+    def kmer_ids_full(self, k: int) -> np.ndarray:
+        """Cached kmer_ids over the whole sequence (O(n) once per k; the
+        per-candidate callers read single elements)."""
+        key = ("f", k)
+        if key not in self._kmer_full:
+            self._kmer_full[key] = genetics.kmer_ids(self.codes, k)
+        return self._kmer_full[key]
+
+    def rc_kmer_ids_full(self, k: int) -> np.ndarray:
+        key = ("r", k)
+        if key not in self._kmer_full:
+            self._kmer_full[key] = genetics.rc_kmer_ids(self.codes, k)
+        return self._kmer_full[key]
 
     def set_boundaries(self, init_synch: bool, term_synch: bool) -> None:
         """Piecewise decoding boundary handling (reference namgene.cc:594):
@@ -1055,9 +1090,9 @@ class GoldEngine:
                             ST.rterminal2)
         right_anchor = t in (ST.singleG, ST.terminal, ST.rsingleG,
                              ST.rinitial)
-        ebx = end_of_bio
+        ebx = np.asarray(end_of_bio)     # scalar or per-candidate vector
         parts = h.ovlping(["exonpart", "CDSpart", "exon", "CDS"],
-                          int(bob.min()), ebx, "both")
+                          int(bob.min()), int(ebx.max()), "both")
         for f in parts:
             strand_ok = (f.strand == ".") or                 (fwd == (f.strand == "+"))
             LOGB = float(np.log(f.bonus))
@@ -1124,27 +1159,33 @@ class GoldEngine:
 
     # ------------------------------------------------------------------
     def _rest_seq(self, t: ST, c: int, g: ExonGeometry, bs: np.ndarray,
-                  right: int, frame_of_right: int) -> np.ndarray:
+                  right, frame_of_right: int) -> np.ndarray:
+        """`right` may be a scalar (one exon end, vector of begins — the
+        DP candidate case) or a per-element vector paired with bs (the
+        pinned-state precompute, device._build_pinned)."""
         cn, n = self.cn, self.n
         k = self.exp.k
         codes = self.codes
         log_nc = float(np.log(cn.prob_n_in_coding))
         out = np.full(bs.shape[0], NEG_INF)
         pls = self.exp.gc[c].pls
+        rightv = np.broadcast_to(
+            np.asarray(right, dtype=np.int64), bs.shape)
 
-        over = bs > right
-        out[over] = (bs[over] - right - 1) * LOG4
+        over = bs > rightv
+        out[over] = (bs[over] - rightv[over] - 1) * LOG4
 
-        shorts = (~over) & (right - bs <= k)
+        shorts = (~over) & (rightv - bs <= k)
         if shorts.any():
             for i in np.flatnonzero(shorts):
                 b = int(bs[i])
-                l = right - b
+                ri = int(rightv[i])
+                l = ri - b
                 if g.forward:
-                    ids = genetics.kmer_ids(codes[b: right + 1], l + 1)
+                    ids = genetics.kmer_ids(codes[b: ri + 1], l + 1)
                     frame = frame_of_right
                 else:
-                    ids = genetics.rc_kmer_ids(codes[b: right + 1], l + 1)
+                    ids = genetics.rc_kmer_ids(codes[b: ri + 1], l + 1)
                     frame = int(mod3(frame_of_right + l))
                 if ids.size and ids[0] >= 0:
                     val = pls[l][frame, ids[0]]
@@ -1152,21 +1193,22 @@ class GoldEngine:
                 else:
                     out[i] = (l + 1) * log_nc
 
-        normal = (~over) & (right - bs > k)
+        normal = (~over) & (rightv - bs > k)
         if not normal.any():
             return out
         idxs = np.flatnonzero(normal)
         b = bs[idxs]
+        right = rightv[idxs]
 
         if g.forward:
-            phi = int(mod3(frame_of_right - right))
+            phi = mod3(frame_of_right - right)
             cum_emi = self.cum_exon[(c, "emi", True)]
             cum_init = self.cum_exon[(c, "init", True)]
             cum_et = self.cum_exon[(c, "et", True)]
             # initial pattern of length k at [b, b+k-1]
             end_of_start = b + k - 1
             initpat = np.full(b.shape[0], k * log_nc)
-            ids = genetics.kmer_ids(codes, k)
+            ids = self.kmer_ids_full(k)
             sel_ok = (b >= 0) & (b <= n - k)
             pid = ids[np.clip(b, 0, max(n - k, 0))]
             frame_ip = mod3(phi + end_of_start)
@@ -1198,20 +1240,22 @@ class GoldEngine:
                 seg = T.seg_sum(cum_emi, phi, b + k, right)
             out[idxs] = initpat + seg
         else:
-            phi = int(mod3(frame_of_right + right))
+            phi = mod3(frame_of_right + right)
             cum_emi = self.cum_exon[(c, "emi", False)]
             cum_init = self.cum_exon[(c, "init", False)]
             cum_et = self.cum_exon[(c, "et", False)]
             begin_initp = right - (k - 1)
             # rc initial pattern of length k at [begin_initp, right]
-            rids = genetics.rc_kmer_ids(codes, k)
+            rids = self.rc_kmer_ids_full(k)
             initpat = np.full(b.shape[0], k * log_nc)
-            if 0 <= begin_initp <= n - k:
-                pid = rids[begin_initp]
-                if pid >= 0:
-                    frame_ip = int(mod3(frame_of_right + right - begin_initp))
-                    val = pls[k - 1][frame_ip, pid]
-                    initpat[:] = np.log(val) if val > 0 else NEG_INF
+            ok = (begin_initp >= 0) & (begin_initp <= n - k)
+            pid = rids[np.clip(begin_initp, 0, max(n - k, 0))]
+            okp = ok & (pid >= 0)
+            if okp.any():
+                frame_ip = mod3(frame_of_right + right - begin_initp)
+                vals = pls[k - 1][frame_ip[okp], pid[okp]]
+                with np.errstate(divide="ignore"):
+                    initpat[okp] = np.where(vals > 0, np.log(vals), NEG_INF)
             if t == ST.rsingleG:
                 begin_init = np.maximum(begin_initp - cn.init_coding_len, b)
                 seg = T.seg_sum(cum_init, phi, begin_init, begin_initp - 1) + \

@@ -50,6 +50,7 @@ BLK = 2048            # positions per grid block (VMEM budget)
 EP = 640              # end padding of b-indexed arrays (>= SLACK + 128)
 CH = 9                # max conv variants per state (sp_convH lane stride)
 NEG = np.float32(F32_NEG)
+INT_FILL = np.int32(-(1 << 30))
 
 
 class PallasFallback(Exception):
@@ -68,6 +69,30 @@ class PKVariant:
 
 
 @dataclass(frozen=True)
+class PKHint:
+    """Sparse exon/CDS hint quotient data for one conv state (mirrors
+    scan.HintConvStatic; window rows live in the HW scratch, x-side
+    per-position scalars in the XH (f32) / XI (i32) planes)."""
+    ipo: int
+    aL: bool
+    aR: bool
+    exclass: int
+    # HW rows
+    w_be_ep: int; w_be_cp: int; w_cntbe_ep: int; w_cntbe_cp: int
+    w_cr_ep: int; w_cr_cp: int; w_cntcr_ep: int; w_cntcr_cp: int
+    w_cnte_ep: int; w_cnte_cp: int; w_zc: int
+    # XH lanes
+    x_be_ep: int; x_be_cp: int; x_cntbe_ep: int; x_cntbe_cp: int
+    x_c2_ep: int; x_cntc2_ep: int
+    x_cnte_ep: int; x_cnte_cp: int; x_zc: int
+    x_tx_ep: int; x_tx_cp: int; x_txc_ep: int; x_txc_cp: int
+    # K slots: (XI start lane, XH w lane, XI flag lane) per slot
+    cross: Tuple[Tuple[int, int, int], ...]
+    # K2 slots: (XI pos lane, XH w lane, XI kind lane) per slot
+    ex: Tuple[Tuple[int, int, int], ...]
+
+
+@dataclass(frozen=True)
 class PKConv:
     state: int
     bpl: int
@@ -76,6 +101,7 @@ class PKConv:
     frame_mode: int
     ip_lane: int                 # ip_conv lane of gate|phi<<1 (then +1,+2)
     variants: Tuple[PKVariant, ...]
+    hint: object = None          # Optional[PKHint]
 
 
 @dataclass(frozen=True)
@@ -126,6 +152,9 @@ class PKStatic:
     convs: Tuple[PKConv, ...]
     gate_lane: int               # ip_misc lane of fixed group gate bits
     cls_lane: int
+    NHW: int = 0                 # hint window rows (0 = no sparse hints)
+    hint_lm: object = None       # (lm_ep, lm_cp, lm_exon, lm_CDS, lm_local)
+    PHW: int = 8192              # pinned-history ring size (cols)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -142,7 +171,10 @@ def pack_tracks(tr: DPTracks):
     st, arr = split_tracks(tr)       # reuse the consolidated scalar tables
     n, S, C = st.n, tr.S, st.C
     NL = tr.n_lanes
-    assert S <= 64 and NL <= 64
+    if S > 64 or NL > 64:
+        # UTR-on track sets exceed the 64-state/64-lane kernel layout;
+        # predict._decode falls back to the XLA scan engine
+        raise PallasFallback(f"track shape S={S} NL={NL} exceeds 64-lane kernel")
     n_blocks = -(-n // BLK)
     n_pad = n_blocks * BLK
 
@@ -150,13 +182,30 @@ def pack_tracks(tr: DPTracks):
     itab = arr["int_table"]          # (n, NIC) int32
     cls = itab[:, st.cls_col].astype(np.int64)
 
-    # ---- per-block class constancy check (consumption class) -----------
-    cls_blk = np.empty(max(n_blocks, 1), dtype=np.int32)
+    # ---- per-block class runs -------------------------------------------
+    # cls_blk row i = [c0, sw1, c1, sw2, c2]: block i starts in class c0,
+    # switches to c1 at block-local position sw1 and to c2 at sw2 (sw = BLK
+    # and repeated class when unused).  The kernel re-DMAs the G/cum rows
+    # at each switch, so the GC class may change mid-block (reference
+    # switches parameter sets per position, src/namgene.cc:244-247).  More
+    # than 2 switches per 2048-block would need class runs shorter than
+    # ~683bp — fall back (the XLA scan handles any pattern).
+    cls_blk = np.zeros((max(n_blocks, 1), 5), dtype=np.int32)
     for i in range(n_blocks):
         span = cls[i * BLK: min(n, (i + 1) * BLK)]
-        if span.size and (span != span[0]).any():
-            raise PallasFallback(f"GC class changes inside block {i}")
-        cls_blk[i] = span[0] if span.size else 0
+        if span.size == 0:
+            cls_blk[i] = (0, BLK, 0, BLK, 0)
+            continue
+        sw = (np.flatnonzero(np.diff(span)) + 1).tolist()
+        if len(sw) > 2:
+            raise PallasFallback(
+                f">2 GC class changes inside block {i}")
+        c0 = int(span[0])
+        sw1 = sw[0] if len(sw) >= 1 else BLK
+        c1 = int(span[sw1]) if len(sw) >= 1 else c0
+        sw2 = sw[1] if len(sw) >= 2 else BLK
+        c2 = int(span[sw2]) if len(sw) >= 2 else c1
+        cls_blk[i] = (c0, sw1, c1, sw2, c2)
 
     # ---- lane permutation: pinned lanes first ---------------------------
     pin_lanes = [p.lane for p in st.pinned]
@@ -225,7 +274,8 @@ def pack_tracks(tr: DPTracks):
             # lane source is a bare dss value at j - jump; at j == jump the
             # lane holds the initial value l0 instead (scan lanes0)
             src = np.zeros(n, dtype=bool)
-            src[jump:] = dss_any[: n - jump]
+            if jump < n:       # short pieces: jump may exceed the piece
+                src[jump:] = dss_any[: n - jump]
             src[min(jump, n - 1):  min(jump, n - 1) + 1] = True
             gate = any_emi & src & (pos >= jump)
         else:
@@ -285,18 +335,88 @@ def pack_tracks(tr: DPTracks):
         ip_misc[:n, 8 + li] = itab[:, lsd.jsel_col]
 
     # ---- pinned ------------------------------------------------------------
+    # the pinned-history ring must cover the furthest back-reference
+    # j - eop actually used (bounded by leftmostExonBegin's max-exon clamp,
+    # engine/tracks.py:leftmost_exon_begin)
     pinned_list: List[PKPinned] = []
+    reach = W_PAD
     for pi, psd in enumerate(st.pinned):
         sp_state[:n, psd.state] = stab[:, psd.score_col]
-        ip_misc[:n, pi] = itab[:, psd.eop_col]
+        eopv = itab[:, psd.eop_col]
+        ip_misc[:n, pi] = eopv
+        live = stab[:, psd.score_col] > float(NEG) / 2
+        if live.any():
+            reach = max(reach, int((np.arange(n) - eopv)[live].max()))
         new_lane = lane_of[psd.lane]
         assert new_lane < 8
         pinned_list.append(PKPinned(state=psd.state, lane=new_lane,
                                     eop_lane=pi))
+    PHW = 8192
+    while PHW < reach + W_PAD + BLK + 256:
+        PHW *= 2
 
     # ---- convs ---------------------------------------------------------------
+    # ---- sparse exon/CDS hint planes ------------------------------------
+    # x-side per-position scalars (stab/itab columns) are packed into two
+    # j-planes XH (f32) / XI (i32); window rows (hw_all) into an HBM array
+    # DMA'd per block like gcum.
+    xh = np.zeros((n_pad, 128), dtype=np.float32)
+    xi = np.full((n_pad, 128), INT_FILL, dtype=np.int32)
+    _xh_lanes: Dict[int, int] = {}
+    _xi_lanes: Dict[int, int] = {}
+
+    def xh_lane(col: int) -> int:
+        if col not in _xh_lanes:
+            if len(_xh_lanes) >= 128:
+                raise PallasFallback("too many hint scalar columns")
+            _xh_lanes[col] = len(_xh_lanes)
+            xh[:n, _xh_lanes[col]] = stab[:, col]
+        return _xh_lanes[col]
+
+    def xi_lane(col: int) -> int:
+        if col not in _xi_lanes:
+            if len(_xi_lanes) >= 128:
+                raise PallasFallback("too many hint int columns")
+            _xi_lanes[col] = len(_xi_lanes)
+            xi[:n, _xi_lanes[col]] = itab[:, col]
+        return _xi_lanes[col]
+
+    def pk_hint(hs) -> PKHint:
+        return PKHint(
+            ipo=hs.ipo, aL=hs.aL, aR=hs.aR, exclass=hs.exclass,
+            w_be_ep=hs.w_be_ep, w_be_cp=hs.w_be_cp,
+            w_cntbe_ep=hs.w_cntbe_ep, w_cntbe_cp=hs.w_cntbe_cp,
+            w_cr_ep=hs.w_cr_ep, w_cr_cp=hs.w_cr_cp,
+            w_cntcr_ep=hs.w_cntcr_ep, w_cntcr_cp=hs.w_cntcr_cp,
+            w_cnte_ep=hs.w_cnte_ep, w_cnte_cp=hs.w_cnte_cp, w_zc=hs.w_zc,
+            x_be_ep=xh_lane(hs.x_be_ep), x_be_cp=xh_lane(hs.x_be_cp),
+            x_cntbe_ep=xh_lane(hs.x_cntbe_ep),
+            x_cntbe_cp=xh_lane(hs.x_cntbe_cp),
+            x_c2_ep=xh_lane(hs.x_c2_ep), x_cntc2_ep=xh_lane(hs.x_cntc2_ep),
+            x_cnte_ep=xh_lane(hs.x_cnte_ep), x_cnte_cp=xh_lane(hs.x_cnte_cp),
+            x_zc=xh_lane(hs.x_zc),
+            x_tx_ep=xh_lane(hs.x_tx_ep), x_tx_cp=xh_lane(hs.x_tx_cp),
+            x_txc_ep=xh_lane(hs.x_txc_ep), x_txc_cp=xh_lane(hs.x_txc_cp),
+            cross=tuple((xi_lane(sc), xh_lane(wc), xi_lane(fc))
+                        for (sc, wc, fc) in hs.cross_cols),
+            ex=tuple((xi_lane(pc), xh_lane(wc), xi_lane(kc))
+                     for (pc, wc, kc) in hs.ex_cols))
+
+    hw_all = arr["hw_all"]                       # (NHW, GPAD + n + END_PAD)
+    NHW = hw_all.shape[0]
+    NHWp = _round_up(max(NHW, 1), 8)
+    hw_hbm = np.zeros((NHWp, W_PAD + n_pad + EP), dtype=np.float32)
+    if NHW:
+        gp_scan = hw_all.shape[1] - n - END_PAD
+        hw_hbm[:NHW, W_PAD: W_PAD + n] = hw_all[:, gp_scan: gp_scan + n]
+        hw_hbm[:NHW, W_PAD + n:] = hw_all[:, gp_scan + n - 1: gp_scan + n] \
+            if n else 0.0
+
     conv_list: List[PKConv] = []
     for ci, ecs in enumerate(st.convs):
+        if any(v.vb_lo is not None or v.vb_hi is not None
+               for v in ecs.variants):
+            raise PallasFallback("begin-bounded (UTR) conv variants present")
         assert len(ecs.variants) <= CH
         vs: List[PKVariant] = []
         for vi, var in enumerate(ecs.variants):
@@ -324,7 +444,8 @@ def pack_tracks(tr: DPTracks):
         conv_list.append(PKConv(
             state=ecs.state, bpl=ecs.bpl, a_off=ecs.a_off,
             lane=lane_of[ecs.lane], frame_mode=ecs.frame_mode,
-            ip_lane=ip_lane, variants=tuple(vs)))
+            ip_lane=ip_lane, variants=tuple(vs),
+            hint=pk_hint(ecs.hint) if ecs.hint is not None else None))
 
     LVP = _round_up(max(lv_cursor[0], 128), 128)
     lv_pack = np.full((1, LVP), NEG, dtype=np.float32)
@@ -356,11 +477,19 @@ def pack_tracks(tr: DPTracks):
         chain_states=tuple(chain_states),
         fixed_groups=tuple(groups), lessd=tuple(lessd_list),
         pinned=tuple(pinned_list), convs=tuple(conv_list),
-        gate_lane=GATE_LANE, cls_lane=CLS_LANE)
+        gate_lane=GATE_LANE, cls_lane=CLS_LANE,
+        NHW=NHWp if any(c.hint is not None for c in conv_list) else 0,
+        hint_lm=st.hint_lm, PHW=PHW)
+    if not any(c.hint is not None for c in conv_list):
+        # no sparse hints: ship minimal dummies (the kernel skips the DMAs)
+        xh = np.zeros((8, 128), dtype=np.float32)
+        xi = np.zeros((8, 128), dtype=np.int32)
+        hw_hbm = np.zeros((8, 128), dtype=np.float32)
 
     arrays = {
         "sp_state": sp_state, "sp_geo": sp_geo, "sp_convH": sp_convH,
         "ip_conv": ip_conv, "ip_misc": ip_misc,
+        "xh_plane": xh, "xi_plane": xi, "hw_hbm": hw_hbm,
         "gcum_hbm": gcum, "msk_hbm": msk,
         "ltc_all": ltc_all, "lt_T": lt_T, "sel_pack": sel_pack,
         "lv_pack": lv_pack, "v0": v0, "l0": l0, "a0": a0,

@@ -125,20 +125,109 @@ def _col_scalar(ref, row, col, fill):
     return _extract(win, col - a0, 128, fill)
 
 
-def make_kernel(st: PKStatic, n_hist: int):
+def make_kernel(st: PKStatic):
     """Build the kernel function for a fixed PKStatic."""
     n, NGR, NMS = st.n, st.NGR, st.NMS
+    PHW = st.PHW          # pinned-history ring (absolute col % PHW)
     NB = st.n_blocks
 
+    def hint_quot(hs, HW, XHrow, XIrow, csG, WPv, j, a_off, len_hi):
+        """Exonpart/CDSpart/exon/CDS hint quotient over one conv band —
+        port of scan._hint_quot (reference exonmodel.cc:1769-1860) onto
+        the VMEM-resident HW windows + XH/XI per-position planes."""
+        lm_ep, lm_cp, lm_ex, lm_cds, lm_loc = st.hint_lm
+        o1 = csG - hs.ipo - 1
+        o2 = csG - hs.ipo
+        widx = _iota_lane(WPv)
+        bvec = (j + a_off - len_hi) + widx
+        bob = bvec - hs.ipo
+
+        def WR(row, cs):
+            return _winread(HW, row, cs, WPv)
+
+        def xf(l):
+            return _extract(XHrow, l, 128, F32_NEG)
+
+        def xint(l):
+            return _extract(XIrow, l, 128, INT_FILL)
+
+        zero = jnp.zeros((1, WPv), jnp.float32)
+        cov_ep = zero + xf(hs.x_tx_ep)
+        cov_cp = zero + xf(hs.x_tx_cp)
+        covc_ep = zero + xf(hs.x_txc_ep)
+        covc_cp = zero + xf(hs.x_txc_cp)
+        for (sl, wl, fl) in hs.cross:
+            sk, wk, flv = xint(sl), xf(wl), xint(fl)
+            sub = (sk >= bob).astype(jnp.float32)
+            cov_ep = cov_ep - jnp.where(flv == 1, wk, 0.0) * sub
+            covc_ep = covc_ep - jnp.where(flv == 1, 1.0, 0.0) * sub
+            cov_cp = cov_cp - jnp.where(flv == 2, wk, 0.0) * sub
+            covc_cp = covc_cp - jnp.where(flv == 2, 1.0, 0.0) * sub
+        crw_ep = WR(hs.w_cr_ep, o2)
+        inside_ep = xf(hs.x_be_ep) - WR(hs.w_be_ep, o1) - crw_ep + cov_ep
+        inside_cp = xf(hs.x_be_cp) - WR(hs.w_be_cp, o1) - \
+            WR(hs.w_cr_cp, o2) + cov_cp
+        ccw_ep = WR(hs.w_cntcr_ep, o2)
+        cin_ep = xf(hs.x_cntbe_ep) - WR(hs.w_cntbe_ep, o1) - ccw_ep + covc_ep
+        cin_cp = xf(hs.x_cntbe_cp) - WR(hs.w_cntbe_cp, o1) - \
+            WR(hs.w_cntcr_cp, o2) + covc_cp
+        part_bonus = inside_ep + inside_cp
+        nep = cin_ep + cin_cp
+        if hs.aL:
+            part_bonus = part_bonus + 0.5 * (crw_ep - cov_ep)
+            nep = nep + (ccw_ep - covc_ep)
+        if hs.aR:
+            part_bonus = part_bonus + 0.5 * (xf(hs.x_c2_ep) - cov_ep)
+            nep = nep + (xf(hs.x_cntc2_ep) - covc_ep)
+        quot = part_bonus
+        sup_ex = zero
+        sup_cds = zero
+        for (pl_, wl, kl) in hs.ex:
+            pk, wk, kd = xint(pl_), xf(wl), xint(kl)
+            cond = ((kd == 1) & (bob == pk)).astype(jnp.float32)
+            quot = quot + wk * cond
+            sup_cds = jnp.maximum(sup_cds, cond)
+            if hs.exclass == 1:
+                cond = ((kd == 2) & (bob == pk)).astype(jnp.float32)
+                quot = quot + wk * cond
+                sup_ex = jnp.maximum(sup_ex, cond)
+            elif hs.exclass == 3:
+                cond = ((kd == 3) & (pk < bob) &
+                        (pk > -(1 << 29))).astype(jnp.float32)
+                quot = quot + 0.5 * wk * cond
+                sup_ex = jnp.maximum(sup_ex, cond)
+        if hs.exclass == 2:
+            for (sl, wl, fl) in hs.cross:
+                sk, wk, flv = xint(sl), xf(wl), xint(fl)
+                cond = ((flv == 4) & (bob == sk)).astype(jnp.float32)
+                quot = quot + 0.5 * wk * cond
+                sup_ex = jnp.maximum(sup_ex, cond)
+        quot = quot + lm_ex * (1.0 - sup_ex) + lm_cds * (1.0 - sup_cds)
+        lenv = jnp.float32(len_hi) - widx.astype(jnp.float32)
+        d_ep = lenv - (xf(hs.x_cnte_ep) - WR(hs.w_cnte_ep, o1))
+        d_cp = lenv - (xf(hs.x_cnte_cp) - WR(hs.w_cnte_cp, o1))
+        quot = quot + jnp.where(d_ep > 0, d_ep * lm_ep, 0.0)
+        quot = quot + jnp.where(d_cp > 0, d_cp * lm_cp, 0.0)
+        zc = xf(hs.x_zc) - WR(hs.w_zc, o1)
+        lpm = jnp.where(zc > 0, zc * lm_loc, 0.0)
+        lpm = jnp.maximum(lpm, -part_bonus)
+        quot = quot + jnp.where(nep >= 4.5, lpm, 0.0)
+        return quot
+
     def kernel(cls_ref, sps_hbm, spg_hbm, sph_hbm, ipc_hbm, ipm_hbm,
+               xh_hbm, xi_hbm, hw_hbm,
                gcum_hbm, msk_hbm, ltc_ref, ltT_ref, sel_ref, lv_ref,
                v0_ref, l0_ref, a0_ref, cmask_ref,
                bp_out, v_out, vd_out,
-               GS, MS, SPS, SPG, SPH, IPC, IPM, BPS, VDBG,
+               GS, MS, HW, SPS, SPG, SPH, IPC, IPM, XH, XI, BPS, VDBG,
                PM, PMA, LM, PHL, PHLA, VC, sems):
         i = pl.program_id(0)
         blk0 = i * BLK
-        cb = cls_ref[i]
+        # [c0, sw1, c1, sw2, c2]: class runs of this block; the GS scratch
+        # is re-DMA'd at each switch (GC class may change mid-block)
+        cb = cls_ref[i, 0]
+        sw1, cb1 = cls_ref[i, 1], cls_ref[i, 2]
+        sw2, cb2 = cls_ref[i, 3], cls_ref[i, 4]
 
         # ---- block-start DMA (j-planes + b-window arrays) ----------------
         cps = [
@@ -157,6 +246,16 @@ def make_kernel(st: PKStatic, n_hist: int):
             pltpu.make_async_copy(ipm_hbm.at[pl.ds(blk0, BLK), :], IPM,
                                   sems.at[6]),
         ]
+        if st.NHW:
+            cps += [
+                pltpu.make_async_copy(xh_hbm.at[pl.ds(blk0, BLK), :], XH,
+                                      sems.at[9]),
+                pltpu.make_async_copy(xi_hbm.at[pl.ds(blk0, BLK), :], XI,
+                                      sems.at[10]),
+                pltpu.make_async_copy(
+                    hw_hbm.at[:, pl.ds(blk0, W + BLK + SLACK)], HW,
+                    sems.at[11]),
+            ]
         for c in cps:
             c.start()
 
@@ -168,10 +267,10 @@ def make_kernel(st: PKStatic, n_hist: int):
             PM[0:W, :] = jnp.broadcast_to(l0, (W, 64))
             PMA[0:W, :] = jnp.broadcast_to(a0, (W, 64))
             LM[:, 0:W] = jnp.broadcast_to(jnp.transpose(l0, (1, 0)), (64, W))
-            PHL[:, 0:W] = jnp.broadcast_to(
-                jnp.transpose(l0[:, 0:8], (1, 0)), (8, W))
-            PHLA[:, 0:W] = jnp.broadcast_to(
-                jnp.transpose(a0[:, 0:8], (1, 0)), (8, W))
+            PHL[:, :] = jnp.broadcast_to(
+                jnp.transpose(l0[:, 0:8], (1, 0)), (8, PHW))
+            PHLA[:, :] = jnp.broadcast_to(
+                jnp.transpose(a0[:, 0:8], (1, 0)), (8, PHW))
             VC[:, :] = v0_ref[:, :]
 
         @pl.when(i > 0)
@@ -186,10 +285,18 @@ def make_kernel(st: PKStatic, n_hist: int):
         for c in cps:
             c.wait()
 
-        ltc = ltc_ref[cb]                                    # (64, 64)
-
         def step(jj, _):
             j = blk0 + jj
+
+            # ---- mid-block GC class switch: refresh the G/cum windows ----
+            for swv, cbv in ((sw1, cb1), (sw2, cb2)):
+                @pl.when(jj == swv)
+                def _(cbv=cbv):
+                    cp = pltpu.make_async_copy(
+                        gcum_hbm.at[cbv, :, pl.ds(blk0, W + BLK + SLACK)],
+                        GS, sems.at[0])
+                    cp.start()
+                    cp.wait()
 
             @pl.when((j >= 1) & (j < n))
             def _():
@@ -202,6 +309,10 @@ def make_kernel(st: PKStatic, n_hist: int):
                 f_col = W + (jj // 128) * 128                 # LM flush edge
 
                 # ---- chain (+ global predecessor argmax) ----------------
+                # transitions of the class AT j (may differ from the block
+                # start class when the block contains a GC switch)
+                cls_now = _extract(ipm, st.cls_lane, 128, INT_FILL)
+                ltc = ltc_ref[pl.ds(cls_now, 1), :, :][0]     # (64, 64)
                 vcol = jnp.transpose(vprev, (1, 0))           # (64, 1)
                 cand, carg = _first_argmax_rows(vcol + ltc)   # (1,64) each
                 chm = cmask_ref[0:1, :] != 0
@@ -306,9 +417,10 @@ def make_kernel(st: PKStatic, n_hist: int):
                                     _extract(arow, pn.lane, 64, INT_FILL))
 
                         def old():
-                            return (_col_scalar(PHL, pn.lane, eop + W,
+                            rc = jnp.remainder(eop + W, PHW)
+                            return (_col_scalar(PHL, pn.lane, rc,
                                                 F32_NEG),
-                                    _col_scalar(PHLA, pn.lane, eop + W,
+                                    _col_scalar(PHLA, pn.lane, rc,
                                                 INT_FILL))
 
                         lv, la = jax.lax.cond(eop >= blk0 - W, recent, old)
@@ -362,8 +474,15 @@ def make_kernel(st: PKStatic, n_hist: int):
                             bvec = (j + cv.a_off - var.len_hi) + widx
                             okb = ((bvec >= smin) & (bvec <= smax) &
                                    (widx < wd))
+                            base_sc = (L + G) + lvd_p
+                            if cv.hint is not None:
+                                XHrow = XH[pl.ds(jj, 1), :]
+                                XIrow = XI[pl.ds(jj, 1), :]
+                                base_sc = base_sc + hint_quot(
+                                    cv.hint, HW, XHrow, XIrow, csG, WPv,
+                                    j, cv.a_off, var.len_hi)
                             score = jnp.where(okb & (L > GATE) & (G > GATE),
-                                              (L + G) + lvd_p, NEGF)
+                                              base_sc, NEGF)
                             sbest, ridx = _last_argmax_lane(score, WPv)
                             H = _extract(sph, var.h_lane, 128, F32_NEG)
                             vbest = jnp.where((sbest > GATE) & (H > GATE),
@@ -424,7 +543,8 @@ def make_kernel(st: PKStatic, n_hist: int):
             @pl.when(jj % 128 == 127)
             def _():
                 col = pl.multiple_of(jj + W - 127, 128)
-                gcol = pl.multiple_of(blk0 + jj + W - 127, 128)
+                gcol = pl.multiple_of(
+                    jnp.remainder(blk0 + jj + W - 127, PHW), 128)
                 blkv = jnp.transpose(PM[pl.ds(col, 128), :], (1, 0))
                 blka = jnp.transpose(PMA[pl.ds(col, 128), :], (1, 0))
                 LM[:, pl.ds(col, 128)] = blkv
@@ -466,13 +586,13 @@ class PallasEngine:
                 cmask[gi + 1, s] = 1
         self.arrays["cmask"] = cmask
         self.n, self.S = st.n, st.S
-        n_hist = W + st.n_pad
-        kernel = make_kernel(st, n_hist)
+        kernel = make_kernel(st)
 
+        NHWs = max(st.NHW, 8)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(st.n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 7 + [
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 10 + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # ltc_all
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # lt_T
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # sel_pack
@@ -488,20 +608,23 @@ class PallasEngine:
             scratch_shapes=[
                 pltpu.VMEM((st.NGR, W + BLK + SLACK), jnp.float32),  # GS
                 pltpu.VMEM((st.NMS, W + BLK + SLACK), jnp.int32),    # MS
+                pltpu.VMEM((NHWs, W + BLK + SLACK), jnp.float32),    # HW
                 pltpu.VMEM((BLK, 128), jnp.float32),             # SPS
                 pltpu.VMEM((BLK, 128), jnp.float32),             # SPG
                 pltpu.VMEM((BLK, 128), jnp.float32),             # SPH
                 pltpu.VMEM((BLK, 128), jnp.int32),               # IPC
                 pltpu.VMEM((BLK, 128), jnp.int32),               # IPM
+                pltpu.VMEM((BLK, 128), jnp.float32),             # XH
+                pltpu.VMEM((BLK, 128), jnp.int32),               # XI
                 pltpu.VMEM((BLK, 128), jnp.int32),               # BPS
                 pltpu.VMEM((BLK, 128), jnp.float32),             # VDBG
                 pltpu.VMEM((W + BLK, 64), jnp.float32),          # PM
                 pltpu.VMEM((W + BLK, 64), jnp.int32),            # PMA
                 pltpu.VMEM((64, W + BLK + SLACK), jnp.float32),      # LM
-                pltpu.VMEM((8, n_hist), jnp.float32),            # PHL
-                pltpu.VMEM((8, n_hist), jnp.int32),              # PHLA
+                pltpu.VMEM((8, st.PHW), jnp.float32),            # PHL
+                pltpu.VMEM((8, st.PHW), jnp.int32),              # PHLA
                 pltpu.VMEM((1, 64), jnp.float32),                # VC
-                pltpu.SemaphoreType.DMA((9,)),
+                pltpu.SemaphoreType.DMA((12,)),
             ],
         )
         self._call = pl.pallas_call(
@@ -519,7 +642,8 @@ class PallasEngine:
     def _run_jit(self, a):
         return self._call(
             a["cls_blk"], a["sp_state"], a["sp_geo"], a["sp_convH"],
-            a["ip_conv"], a["ip_misc"], a["gcum_hbm"], a["msk_hbm"],
+            a["ip_conv"], a["ip_misc"], a["xh_plane"], a["xi_plane"],
+            a["hw_hbm"], a["gcum_hbm"], a["msk_hbm"],
             a["ltc_all"], a["lt_T"], a["sel_pack"], a["lv_pack"],
             a["v0"], a["l0"], a["a0"], a["cmask"])
 

@@ -722,6 +722,240 @@ def make_scan_fn(st: ScanStatic, debug_vals: bool = False):
     return fn
 
 
+def make_forward_fn(st: ScanStatic):
+    """Forward-table scan: same candidate sets/tracks as make_scan_fn with
+    max replaced by logsumexp (reference computes the forward table with
+    the identical recursion, src/namgene.cc:367; gold._state_cands is the
+    host oracle).  The baseline rebase is a per-position constant shift,
+    so it commutes with logsumexp exactly — the rebased tracks are reused
+    unchanged and the host adds tracks.base back.
+
+    Returns fn(arrays, v0) -> (f_final (S,), f_rows (n-1, S)).
+    """
+    n, S, NL, PAD, GPAD = st.n, st.S, st.NL, st.PAD, st.GPAD
+    WB = PAD
+
+    def lse_vec(x):
+        m = jnp.max(x)
+        s = jnp.sum(jnp.where(x > GATE, jnp.exp(x - m), 0.0))
+        return jnp.where(m > GATE, m + jnp.log(s), NEG)
+
+    def lse2(a, b):
+        m = jnp.maximum(a, b)
+        s = jnp.where(a > GATE, jnp.exp(a - m), 0.0) + \
+            jnp.where(b > GATE, jnp.exp(b - m), 0.0)
+        return jnp.where(m > GATE, m + jnp.log(s), NEG)
+
+    def fn(arrays, v0):
+        G_all = arrays["G_all"]
+        cum_all = arrays["cum_all"]
+        log_trans = arrays["log_trans"]
+        lane_trans = arrays["lane_trans"]
+        stab = arrays["scalar_table"]
+        itab = arrays["int_table"]
+        NG = G_all.shape[0]
+        NCU = cum_all.shape[0]
+        n_true = arrays["n_true"]
+
+        def step(carry, j):
+            vprev, lanes = carry
+            srow = stab[j]
+            irow = itab[j]
+            c = irow[st.cls_col]
+            ltc = log_trans[c]
+
+            Lwin = jax.lax.dynamic_slice(lanes, (0, j - WB + PAD), (NL, WB))
+            if NG:
+                Gwin = jax.lax.dynamic_slice(
+                    G_all, (0, c, 0, j - WB + GPAD), (NG, 1, 3, WB + 64)
+                )[:, 0]
+            if NCU:
+                Cwin = jax.lax.dynamic_slice(
+                    cum_all, (0, c, j - WB + GPAD), (NCU, 1, WB + 64))[:, 0]
+            if st.lessd:
+                NLD = arrays["lessd_bvalid_all"].shape[0]
+                BVwin = jax.lax.dynamic_slice(
+                    arrays["lessd_bvalid_all"], (0, j - WB + PAD), (NLD, WB))
+                BSwin = jax.lax.dynamic_slice(
+                    arrays["lessd_bstop_all"], (0, j - WB + PAD), (NLD, WB))
+            if st.NHW:
+                HWwin = jax.lax.dynamic_slice(
+                    arrays["hw_all"], (0, j - WB + GPAD), (st.NHW, WB + 64))
+
+            put_idx: list = []
+            put_val: list = []
+
+            for csd in st.chain:
+                cand = lse_vec(vprev + ltc[:, csd.state])
+                v = jnp.where(cand > GATE, cand + srow[csd.emi_col], NEG)
+                put_idx.append(csd.state)
+                put_val.append(v)
+
+            for fsd in st.fixed:
+                s, D, l = fsd.state, fsd.jump, fsd.lane
+                col = WB - D
+                emi = srow[fsd.emi_col]
+                if fsd.kind == 0:
+                    lv = Lwin[l, col]
+                elif fsd.kind == 1:
+                    lv = Lwin[l, col] + srow[fsd.extra_col]
+                else:
+                    lv = lse2(Lwin[l, col],
+                              Lwin[l + 1, col] + srow[fsd.extra_col])
+                ok = (j >= D) & (lv > GATE) & (emi > GATE)
+                put_idx.append(s)
+                put_val.append(jnp.where(ok, lv + emi, NEG))
+
+            for li, lsd in enumerate(st.lessd):
+                s, l, Wn = lsd.state, lsd.lane, lsd.window
+                c0 = WB - Wn
+                lslice = Lwin[l, c0: WB]
+                cslice = Cwin[lsd.cum_id, c0 + 1: WB + 1]
+                seg = srow[lsd.cumj_col] - cslice
+                bvalid = BVwin[li, c0: WB]
+                bstop = BSwin[li, c0: WB]
+                widx = jax.lax.iota(jnp.int32, Wn)
+                eops = (j - Wn) + widx
+                stop = (bstop & irow[lsd.jsel_col].astype(jnp.int8)) != 0
+                ok = (eops >= 0) & (bvalid != 0) & (~stop)
+                score = jnp.where(ok & (lslice > GATE),
+                                  lslice + seg + arrays[lsd.lenvec_key] +
+                                  srow[lsd.psi_col], NEG)
+                v = lse_vec(score)
+                gated = (irow[lsd.jgate_col] != 0) & (v > GATE)
+                put_idx.append(s)
+                put_val.append(jnp.where(gated, v, NEG))
+
+            for psd in st.pinned:
+                s, l = psd.state, psd.lane
+                eop = irow[psd.eop_col]
+                sc = srow[psd.score_col]
+                row = jnp.maximum(eop, -PAD) + PAD
+                lv = lanes[l, row]
+                ok = (sc > GATE) & (lv > GATE)
+                put_idx.append(s)
+                put_val.append(jnp.where(ok, lv + sc, NEG))
+
+            for ei, ecs in enumerate(st.convs):
+                s = ecs.state
+                gp = irow[ecs.gate_col]
+                gate = (gp & 1) != 0
+                phi = gp >> 1
+                smin = irow[ecs.smin_col]
+                smax = irow[ecs.smax_col]
+                ph_onehot = (phi == jnp.arange(3)).astype(jnp.float32)
+
+                def compute(j=j, ecs=ecs, ei=ei, smin=smin, smax=smax,
+                            srow=srow, irow=irow, ph_onehot=ph_onehot):
+                    best = NEG
+                    for vi, var in enumerate(ecs.variants):
+                        width = var.width
+                        lvd = arrays[f"lenvec{ei}_{vi}"]
+                        goff = WB + ecs.a_off - var.len_hi
+                        G3 = Gwin[var.g_id, :, goff: goff + width]
+                        G = (G3 * ph_onehot[:, None]).sum(axis=0)
+                        H = srow[var.h_col]
+                        eoff = goff - ecs.bpl - 1
+                        if var.fsel is None:
+                            L = Lwin[ecs.lane, eoff: eoff + width]
+                        else:
+                            L3 = Lwin[ecs.lane: ecs.lane + 3,
+                                      eoff: eoff + width]
+                            onehot = jnp.asarray(
+                                np.eye(3, dtype=np.float32)[
+                                    np.array(var.fsel)].T)
+                            L = (L3 * onehot).sum(axis=0)
+                        widx = jax.lax.iota(jnp.int32, width)
+                        b = (j + ecs.a_off - var.len_hi) + widx
+                        okb = (b >= smin) & (b <= smax)
+                        if var.vb_lo is not None:
+                            okb &= b >= var.vb_lo
+                        if var.vb_hi is not None:
+                            okb &= b <= var.vb_hi
+                        if ecs.hint is not None:
+                            quot = _hint_quot(st, ecs.hint, HWwin, srow,
+                                              irow, goff, width, b, widx,
+                                              var.len_hi)
+                        else:
+                            quot = jnp.float32(0.0)
+                        score = jnp.where(okb & (L > GATE) & (G > GATE),
+                                          (L + G + lvd) + quot, NEG)
+                        sbest = lse_vec(score)
+                        vbest = jnp.where((sbest > GATE) & (H > GATE),
+                                          sbest + H, NEG)
+                        best = lse2(best, vbest)
+                    return best
+
+                v = jax.lax.cond(gate, compute, lambda: NEG)
+                put_idx.append(s)
+                put_val.append(v)
+
+            idx = jnp.asarray(np.array(put_idx, dtype=np.int32))
+            vals = jnp.full((S,), NEG).at[idx].set(jnp.stack(put_val))
+            vals = jnp.where(j < n_true, vals, vprev)
+            lane_cand = vals[None, :] + lane_trans        # (NL, S)
+            m = jnp.max(lane_cand, axis=1)
+            ssum = jnp.sum(jnp.where(lane_cand > GATE,
+                                     jnp.exp(lane_cand - m[:, None]), 0.0),
+                           axis=1)
+            lane_valj = jnp.where(m > GATE, m + jnp.log(ssum), NEG)
+            lanes = jax.lax.dynamic_update_slice(
+                lanes, lane_valj[:, None], (0, j + PAD))
+            return (vals, lanes), vals
+
+        lanes0 = jnp.full((NL, n + PAD + END_PAD), NEG, dtype=jnp.float32)
+        lane_cand = v0[None, :] + arrays["lane_trans"]
+        m0 = jnp.max(lane_cand, axis=1)
+        s0 = jnp.sum(jnp.where(lane_cand > GATE,
+                               jnp.exp(lane_cand - m0[:, None]), 0.0), axis=1)
+        l0 = jnp.where(m0 > GATE, m0 + jnp.log(s0), NEG)
+        lanes0 = lanes0.at[:, : PAD + 1].set(l0[:, None])
+        (ffin, _), frows = jax.lax.scan(step, (v0, lanes0), jnp.arange(1, n))
+        return ffin, frows
+
+    return fn
+
+
+_FWD_CACHE: Dict[ScanStatic, object] = {}
+
+
+class ForwardEngine:
+    """Device forward-table pass; fills gold.f for the host sampling walk
+    (gold.sample_path), replacing the O(n·S·cands) pure-Python forward.
+
+    Use on tracks already padded by a ScanEngine (or pass bucket=True to
+    pad here); rows beyond n_true are frozen and dropped.
+    """
+
+    def __init__(self, tracks: DPTracks, n_true: Optional[int] = None,
+                 bucket: bool = False):
+        from .device import bucket_length, pad_tracks
+        self.n_true = tracks.n if n_true is None else n_true
+        if bucket:
+            pad_tracks(tracks, bucket_length(tracks.n))
+        self.tracks = tracks
+        self.static, self.arrays = split_tracks(tracks)
+        self.arrays["n_true"] = np.int32(self.n_true)
+        fn = _FWD_CACHE.get(self.static)
+        if fn is None:
+            fn = jax.jit(make_forward_fn(self.static))
+            _FWD_CACHE[self.static] = fn
+        self._fn = fn
+
+    def run(self) -> np.ndarray:
+        """Full forward table (n_true, S) in TRUE (unrebased) log space."""
+        v0 = jnp.asarray(self.tracks.log_init)
+        dev = jax.tree_util.tree_map(jnp.asarray, self.arrays)
+        ffin, frows = self._fn(dev, v0)
+        n = self.n_true
+        f = np.full((n, self.tracks.S), float(F32_NEG), dtype=np.float64)
+        f[0] = np.asarray(v0, dtype=np.float64)
+        f[1:] = np.asarray(frows, dtype=np.float64)[: n - 1]
+        base = self.tracks.base
+        f = np.where(f > float(F32_NEG) / 2, f + base[:n, None], -np.inf)
+        return f
+
+
 _FN_CACHE: Dict[ScanStatic, object] = {}
 
 

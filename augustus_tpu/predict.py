@@ -98,18 +98,18 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
 
     engine:
       "auto"   — Pallas TPU kernel (fast path) with transparent fallback
-                 to the XLA scan engine (chunks the kernel cannot take,
-                 e.g. a GC-class change inside a block) and to the gold
-                 host engine (state architectures without device tracks,
-                 e.g. ncmodel); forward-table runs (sampling/MEA) stay
-                 on gold
+                 to the XLA scan engine (chunks the kernel cannot take)
+                 and to the gold host engine (state architectures without
+                 device tracks, e.g. ncmodel); forward-table runs
+                 (sampling/MEA) use the device logsumexp scan
+                 (scan.ForwardEngine) + the host sampling walk
       "pallas" — force the Pallas kernel (raises if unsupported)
       "scan"   — force the XLA scan engine (raises if unsupported)
       "gold"   — host float64 oracle
     """
-    if engine in ("auto", "pallas", "scan") and not need_forward:
+    if engine in ("auto", "pallas", "scan"):
         from .engine.device import build_tracks, UnsupportedByDevice
-        from .engine.scan import ScanEngine
+        from .engine.scan import ScanEngine, ForwardEngine
         from .engine.pallas_pack import PallasFallback
         gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
         try:
@@ -117,8 +117,19 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
         except UnsupportedByDevice:
             if engine != "auto":
                 raise
-            gold.run(codes, softmask=softmask, gff_hints=gff_hints)
+            gold.run(codes, softmask=softmask, gff_hints=gff_hints,
+                     need_forward=need_forward)
             return gold.traceback()
+        if need_forward:
+            # device forward table (logsumexp scan) + host sampling walk;
+            # the viterbi path comes from the scan engine below
+            n_true = tracks.n
+            se = ScanEngine(tracks)       # pads tracks to the bucket
+            se.run()
+            fe = ForwardEngine(tracks, n_true=n_true)
+            gold.f = fe.run()
+            gold._classify_states()
+            return se.traceback()
         if engine != "scan":
             from .engine.pallas_scan import PallasEngine
             import jax
