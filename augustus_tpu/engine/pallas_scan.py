@@ -220,7 +220,7 @@ def make_kernel(st: PKStatic):
                v0_ref, l0_ref, a0_ref, cmask_ref,
                bp_out, v_out, vd_out,
                GS, MS, HW, SPS, SPG, SPH, IPC, IPM, XH, XI, BPS, VDBG,
-               PM, PMA, LM, PHL, PHLA, VC, sems):
+               PM, PMA, LM, PHL, PHLA, VC, LTC, sems):
         i = pl.program_id(0)
         blk0 = i * BLK
         # [c0, sw1, c1, sw2, c2]: class runs of this block; the GS scratch
@@ -285,10 +285,12 @@ def make_kernel(st: PKStatic):
         for c in cps:
             c.wait()
 
+        LTC[:, :] = ltc_ref[cb]       # transitions of the block-start class
+
         def step(jj, _):
             j = blk0 + jj
 
-            # ---- mid-block GC class switch: refresh the G/cum windows ----
+            # ---- mid-block GC class switch: refresh G/cum + transitions --
             for swv, cbv in ((sw1, cb1), (sw2, cb2)):
                 @pl.when(jj == swv)
                 def _(cbv=cbv):
@@ -296,6 +298,7 @@ def make_kernel(st: PKStatic):
                         gcum_hbm.at[cbv, :, pl.ds(blk0, W + BLK + SLACK)],
                         GS, sems.at[0])
                     cp.start()
+                    LTC[:, :] = ltc_ref[cbv]
                     cp.wait()
 
             @pl.when((j >= 1) & (j < n))
@@ -309,10 +312,8 @@ def make_kernel(st: PKStatic):
                 f_col = W + (jj // 128) * 128                 # LM flush edge
 
                 # ---- chain (+ global predecessor argmax) ----------------
-                # transitions of the class AT j (may differ from the block
-                # start class when the block contains a GC switch)
-                cls_now = _extract(ipm, st.cls_lane, 128, INT_FILL)
-                ltc = ltc_ref[pl.ds(cls_now, 1), :, :][0]     # (64, 64)
+                ltc = LTC[:, :]       # class at j (kept fresh by the
+                #                       block-start/switch writes above)
                 vcol = jnp.transpose(vprev, (1, 0))           # (64, 1)
                 cand, carg = _first_argmax_rows(vcol + ltc)   # (1,64) each
                 chm = cmask_ref[0:1, :] != 0
@@ -624,6 +625,7 @@ class PallasEngine:
                 pltpu.VMEM((8, st.PHW), jnp.float32),            # PHL
                 pltpu.VMEM((8, st.PHW), jnp.int32),              # PHLA
                 pltpu.VMEM((1, 64), jnp.float32),                # VC
+                pltpu.VMEM((64, 64), jnp.float32),               # LTC
                 pltpu.SemaphoreType.DMA((12,)),
             ],
         )
