@@ -55,14 +55,16 @@ def _f32(x) -> np.ndarray:
     conversion happens in _finalize_tracks AFTER the baseline rebase, so
     large-magnitude path scores are rounded only once, near zero."""
     y = np.array(x, dtype=np.float64)
-    np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG))
+    np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG),
+                  posinf=float(F32_NEG))
     np.maximum(y, float(F32_NEG), out=y)
     return y
 
 
 def _c32(x) -> np.ndarray:
     y = np.array(x, dtype=np.float64)
-    np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG))
+    np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG),
+                  posinf=float(F32_NEG))
     np.maximum(y, float(F32_NEG), out=y)
     return y.astype(np.float32)
 

@@ -571,6 +571,84 @@ def make_kernel(st: PKStatic):
     return kernel
 
 
+_PL_CACHE: Dict[tuple, object] = {}
+
+
+def make_pallas_fn(st: PKStatic, interpret: bool = False):
+    """Jitted whole-DP callable for one PKStatic config (cached).
+
+    The kernel closure, pallas_call and jit wrapper are built once per
+    static config: re-tracing/lowering/compiling per run used to cost more
+    than the DP itself (trace+lower alone is ~12 s at 100 kb)."""
+    fn = _PL_CACHE.get((st, interpret))
+    if fn is not None:
+        return fn
+    kernel = make_kernel(st)
+
+    NHWs = max(st.NHW, 8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(st.n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 10 + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ltc_all
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lt_T
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sel_pack
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lv_pack
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # l0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # a0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cmask
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        scratch_shapes=[
+            pltpu.VMEM((st.NGR, W + BLK + SLACK), jnp.float32),  # GS
+            pltpu.VMEM((st.NMS, W + BLK + SLACK), jnp.int32),    # MS
+            pltpu.VMEM((NHWs, W + BLK + SLACK), jnp.float32),    # HW
+            pltpu.VMEM((BLK, 128), jnp.float32),             # SPS
+            pltpu.VMEM((BLK, 128), jnp.float32),             # SPG
+            pltpu.VMEM((BLK, 128), jnp.float32),             # SPH
+            pltpu.VMEM((BLK, 128), jnp.int32),               # IPC
+            pltpu.VMEM((BLK, 128), jnp.int32),               # IPM
+            pltpu.VMEM((BLK, 128), jnp.float32),             # XH
+            pltpu.VMEM((BLK, 128), jnp.int32),               # XI
+            pltpu.VMEM((BLK, 128), jnp.int32),               # BPS
+            pltpu.VMEM((BLK, 128), jnp.float32),             # VDBG
+            pltpu.VMEM((W + BLK, 64), jnp.float32),          # PM
+            pltpu.VMEM((W + BLK, 64), jnp.int32),            # PMA
+            pltpu.VMEM((64, W + BLK + SLACK), jnp.float32),      # LM
+            pltpu.VMEM((8, st.PHW), jnp.float32),            # PHL
+            pltpu.VMEM((8, st.PHW), jnp.int32),              # PHLA
+            pltpu.VMEM((1, 64), jnp.float32),                # VC
+            pltpu.VMEM((64, 64), jnp.float32),               # LTC
+            pltpu.SemaphoreType.DMA((12,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((st.n_pad, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 64), jnp.float32),
+                   jax.ShapeDtypeStruct((st.n_pad, 128), jnp.float32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def _run(a):
+        return call(
+            a["cls_blk"], a["sp_state"], a["sp_geo"], a["sp_convH"],
+            a["ip_conv"], a["ip_misc"], a["xh_plane"], a["xi_plane"],
+            a["hw_hbm"], a["gcum_hbm"], a["msk_hbm"],
+            a["ltc_all"], a["lt_T"], a["sel_pack"], a["lv_pack"],
+            a["v0"], a["l0"], a["a0"], a["cmask"])
+
+    fn = jax.jit(_run)
+    _PL_CACHE[(st, interpret)] = fn
+    return fn
+
+
 class PallasEngine:
     """Drop-in fast path for ScanEngine backed by the Pallas DP kernel."""
 
@@ -587,94 +665,48 @@ class PallasEngine:
                 cmask[gi + 1, s] = 1
         self.arrays["cmask"] = cmask
         self.n, self.S = st.n, st.S
-        kernel = make_kernel(st)
-
-        NHWs = max(st.NHW, 8)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(st.n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 10 + [
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # ltc_all
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # lt_T
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # sel_pack
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # lv_pack
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # v0
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # l0
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # a0
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # cmask
-            ],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.HBM)),
-            scratch_shapes=[
-                pltpu.VMEM((st.NGR, W + BLK + SLACK), jnp.float32),  # GS
-                pltpu.VMEM((st.NMS, W + BLK + SLACK), jnp.int32),    # MS
-                pltpu.VMEM((NHWs, W + BLK + SLACK), jnp.float32),    # HW
-                pltpu.VMEM((BLK, 128), jnp.float32),             # SPS
-                pltpu.VMEM((BLK, 128), jnp.float32),             # SPG
-                pltpu.VMEM((BLK, 128), jnp.float32),             # SPH
-                pltpu.VMEM((BLK, 128), jnp.int32),               # IPC
-                pltpu.VMEM((BLK, 128), jnp.int32),               # IPM
-                pltpu.VMEM((BLK, 128), jnp.float32),             # XH
-                pltpu.VMEM((BLK, 128), jnp.int32),               # XI
-                pltpu.VMEM((BLK, 128), jnp.int32),               # BPS
-                pltpu.VMEM((BLK, 128), jnp.float32),             # VDBG
-                pltpu.VMEM((W + BLK, 64), jnp.float32),          # PM
-                pltpu.VMEM((W + BLK, 64), jnp.int32),            # PMA
-                pltpu.VMEM((64, W + BLK + SLACK), jnp.float32),      # LM
-                pltpu.VMEM((8, st.PHW), jnp.float32),            # PHL
-                pltpu.VMEM((8, st.PHW), jnp.int32),              # PHLA
-                pltpu.VMEM((1, 64), jnp.float32),                # VC
-                pltpu.VMEM((64, 64), jnp.float32),               # LTC
-                pltpu.SemaphoreType.DMA((12,)),
-            ],
-        )
-        self._call = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((st.n_pad, 128), jnp.int32),
-                       jax.ShapeDtypeStruct((1, 64), jnp.float32),
-                       jax.ShapeDtypeStruct((st.n_pad, 128), jnp.float32)),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )
-        self._jit = jax.jit(self._run_jit)
-
-    def _run_jit(self, a):
-        return self._call(
-            a["cls_blk"], a["sp_state"], a["sp_geo"], a["sp_convH"],
-            a["ip_conv"], a["ip_misc"], a["xh_plane"], a["xi_plane"],
-            a["hw_hbm"], a["gcum_hbm"], a["msk_hbm"],
-            a["ltc_all"], a["lt_T"], a["sel_pack"], a["lv_pack"],
-            a["v0"], a["l0"], a["a0"], a["cmask"])
+        self._jit = make_pallas_fn(st, interpret)
 
     def run(self) -> None:
         a = {k: jnp.asarray(v) for k, v in self.arrays.items()}
         bps, vfin, vdbg = self._jit(a)
-        self.backptr = np.asarray(bps)[: self.n]
-        self.v_debug = np.asarray(vdbg)[: self.n]
+        # keep the big planes on device: transfer lazily / walk on device
+        self._bps_dev = bps
+        self._vdbg_dev = vdbg
         vf = np.full(self.tracks.S, F32_NEG, dtype=np.float32)
         vf[: self.S] = np.asarray(vfin)[0, : self.S]
         self.v_final = vf
 
-    def traceback(self):
-        """Mirror ScanEngine.traceback (kernel bp row j == scan bps[j-1])."""
-        tr = self.tracks
-        n = self.n
-        last = self.v_final + np.asarray(tr.log_term)
+    @property
+    def backptr(self) -> np.ndarray:
+        return np.asarray(self._bps_dev)[: self.n]
+
+    @property
+    def v_debug(self) -> np.ndarray:
+        return np.asarray(self._vdbg_dev)[: self.n]
+
+    def _walk_start(self) -> int:
+        last = self.v_final + np.asarray(self.tracks.log_term)
         state = int(np.argmax(last))
         if last[state] <= float(F32_NEG) / 2:
             raise RuntimeError("No feasible path found in HMM (pallas)")
-        segs = []
-        base = n - 1
-        types = tr.gold.sg.state_types
-        while base > 0:
-            packed = int(self.backptr[base, state])
-            pred = packed >> 20
-            off = packed & 0xFFFFF
-            pb = base - off
-            segs.append((pb + 1, base, types[state]))
-            base, state = pb, pred
-        segs.reverse()
-        return segs
+        return state
+
+    def _trace_packed(self) -> np.ndarray:
+        from .traceback import make_trace_fn
+        state0 = self._walk_start()
+        fn = make_trace_fn(self.n, 0)
+        return np.asarray(fn(self._bps_dev, state0))
+
+    def traceback(self):
+        """Raw segment list (kernel bp row j == scan bps[j-1])."""
+        from .traceback import raw_segments
+        return raw_segments(self._trace_packed(),
+                            self.tracks.gold.sg.state_types)
+
+    def traceback_path(self, dnalen: int):
+        """Condensed PathState list (fast path: device walk + vectorized
+        merge; equals og.condense_path(self.traceback(), dnalen))."""
+        from .traceback import condensed_path
+        return condensed_path(self._trace_packed(), dnalen,
+                              self.tracks.gold.sg.state_types)

@@ -987,24 +987,32 @@ class ScanEngine:
         dev_arrays = jax.tree_util.tree_map(jnp.asarray, self.arrays)
         vfin, bps = self._fn(dev_arrays, v0)
         self.v_final = np.asarray(vfin)
-        self.backptr = np.asarray(bps)
+        self._bps_dev = bps          # stays on device (see engine/traceback)
 
-    def traceback(self) -> List[Tuple[int, int, ST]]:
-        tr = self.tracks
-        n, S = self.n, self.S
-        last = self.v_final + np.asarray(tr.log_term)
+    @property
+    def backptr(self) -> np.ndarray:
+        return np.asarray(self._bps_dev)
+
+    def _walk_start(self) -> int:
+        last = self.v_final + np.asarray(self.tracks.log_term)
         state = int(np.argmax(last))
         if last[state] <= float(F32_NEG) / 2:
             raise RuntimeError("No feasible path found in HMM (scan)")
-        segs: List[Tuple[int, int, ST]] = []
-        base = n - 1
-        types = tr.gold.sg.state_types
-        while base > 0:
-            packed = int(self.backptr[base - 1, state])
-            pred = packed >> 20
-            off = packed & 0xFFFFF
-            pb = base - off
-            segs.append((pb + 1, base, types[state]))
-            base, state = pb, pred
-        segs.reverse()
-        return segs
+        return state
+
+    def _trace_packed(self) -> np.ndarray:
+        from .traceback import make_trace_fn
+        state0 = self._walk_start()
+        fn = make_trace_fn(self.n, -1)
+        return np.asarray(fn(self._bps_dev, state0))
+
+    def traceback(self) -> List[Tuple[int, int, ST]]:
+        from .traceback import raw_segments
+        return raw_segments(self._trace_packed(),
+                            self.tracks.gold.sg.state_types)
+
+    def traceback_path(self, dnalen: int):
+        """Condensed PathState list; equals og.condense_path(traceback())."""
+        from .traceback import condensed_path
+        return condensed_path(self._trace_packed(), dnalen,
+                              self.tracks.gold.sg.state_types)

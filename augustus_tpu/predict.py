@@ -94,7 +94,9 @@ def _strand_option(props) -> str:
 
 def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
             need_forward: bool):
-    """Run one Viterbi decode on the requested engine.
+    """Run one Viterbi decode; returns the CONDENSED PathState list
+    (og.condense_path semantics; device engines walk the path on device
+    and merge runs vectorized, engine/traceback.py).
 
     engine:
       "auto"   — Pallas TPU kernel (fast path) with transparent fallback
@@ -119,17 +121,21 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
                 raise
             gold.run(codes, softmask=softmask, gff_hints=gff_hints,
                      need_forward=need_forward)
-            return gold.traceback()
+            return og.condense_path(gold.traceback(), codes.shape[0])
         if need_forward:
             # device forward table (logsumexp scan) + host sampling walk;
             # the viterbi path comes from the scan engine below
+            if engine == "pallas":
+                from .engine.pallas_pack import PallasFallback
+                raise PallasFallback(
+                    "forward-table runs (sampling/MEA) use the scan engine")
             n_true = tracks.n
             se = ScanEngine(tracks)       # pads tracks to the bucket
             se.run()
             fe = ForwardEngine(tracks, n_true=n_true)
             gold.f = fe.run()
             gold._classify_states()
-            return se.traceback()
+            return se.traceback_path(codes.shape[0])
         if engine != "scan":
             from .engine.pallas_scan import PallasEngine
             import jax
@@ -140,16 +146,16 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
                     raise PallasFallback("no TPU device")
                 pe = PallasEngine(tracks)
                 pe.run()
-                return pe.traceback()
+                return pe.traceback_path(codes.shape[0])
             except PallasFallback:
                 if engine == "pallas":
                     raise
         se = ScanEngine(tracks)
         se.run()
-        return se.traceback()
+        return se.traceback_path(codes.shape[0])
     gold.run(codes, softmask=softmask, gff_hints=gff_hints,
              need_forward=need_forward)
-    return gold.traceback()
+    return og.condense_path(gold.traceback(), codes.shape[0])
 
 
 def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
@@ -192,12 +198,10 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
     need_forward = sample_iters > 1
 
     if precomputed is not None and not need_forward:
-        segments = precomputed[0]
+        path = og.condense_path(precomputed[0], codes.shape[0])
     else:
-        segments = _decode(gold, codes, softmask, gff_hints, engine,
-                           need_forward)
-
-    path = og.condense_path(segments, codes.shape[0])
+        path = _decode(gold, codes, softmask, gff_hints, engine,
+                       need_forward)
     genes = og.project_onto_genes(path, cn)
     # reference NAMGene::findGenes (namgene.cc:812-906): viterbi transcripts
     # enter with weight 1, sampled paths accumulate posterior counts
@@ -350,8 +354,7 @@ def _mini_viterbi_path(model, codes, softmask, gff_hints, engine,
                       model.decomp, model.gcode, utr=model.utr,
                       utr_cfg=model.utr_cfg, ext_cfg=model.ext_cfg)
     gold.set_boundaries(init_synch, term_synch)
-    segments = _decode(gold, codes, softmask, gff_hints, engine, False)
-    return og.condense_path(segments, codes.shape[0])
+    return _decode(gold, codes, softmask, gff_hints, engine, False)
 
 
 def _next_cut_end_point(model, codes, softmask, gff_hints, begin: int,
