@@ -220,20 +220,36 @@ def pack_tracks(tr: DPTracks):
             assert lane_of[c.lane + 2] == lane_of[c.lane] + 2
 
     assert S <= 64
-    sp_state = np.full((n_pad, 128), NEG, dtype=np.float32)
-    sp_geo = np.zeros((n_pad, 128), dtype=np.float32)
-    sp_convH = np.full((n_pad, 128), NEG, dtype=np.float32)
-    ip_conv = np.zeros((n_pad, 128), dtype=np.int32)
-    ip_misc = np.zeros((n_pad, 128), dtype=np.int32)
+    # ---- plane maps: plane lane -> table column ------------------------
+    # the dense (n_pad, 128) j-planes are NOT materialized here: maps of
+    # lane -> scalar/int-table column ship with the compact tables and the
+    # expansion runs on device inside the jitted program (expand_arrays) --
+    # the former host np.full+scatter churn and the ~2.5 GB/Mb H2D of the
+    # planes were the dominant end-to-end cost.
+    m_sp_state = np.full(128, -1, dtype=np.int32)
+    m_sp_geo = np.full(128, -1, dtype=np.int32)
+    m_sp_convH = np.full(128, -1, dtype=np.int32)
+    m_ip_conv = np.full(128, -1, dtype=np.int32)
+    m_ip_misc = np.full(128, -1, dtype=np.int32)
+    xtra_s: List[np.ndarray] = []     # host-derived extra scalar columns
+    xtra_i: List[np.ndarray] = []
+
+    def xscol(vals) -> int:
+        xtra_s.append(np.asarray(vals, dtype=np.float32))
+        return stab.shape[1] + len(xtra_s) - 1
+
+    def xicol(vals) -> int:
+        xtra_i.append(np.asarray(vals, dtype=np.int32))
+        return itab.shape[1] + len(xtra_i) - 1
 
     pos = np.arange(n)
     GATE_LANE, CLS_LANE = 17, 16
-    ip_misc[:n, CLS_LANE] = cls.astype(np.int32)
+    m_ip_misc[CLS_LANE] = st.cls_col
 
     # ---- chain ----------------------------------------------------------
     chain_states = []
     for cs in st.chain:
-        sp_state[:n, cs.state] = stab[:, cs.emi_col]
+        m_sp_state[cs.state] = cs.emi_col
         chain_states.append(cs.state)
 
     # ---- fixed groups by (jump, kind) -----------------------------------
@@ -257,11 +273,11 @@ def pack_tracks(tr: DPTracks):
         any_emi = np.zeros(n, dtype=bool)
         for fs in fss:
             s = fs.state
-            sp_state[:n, s] = stab[:, fs.emi_col]
+            m_sp_state[s] = fs.emi_col
             any_emi |= stab[:, fs.emi_col] > float(NEG) / 2
             selA[lane_of[fs.lane], s] = 0.0
             if fs.kind in (1, 2):
-                sp_geo[:n, s] = stab[:, fs.extra_col]
+                m_sp_geo[s] = fs.extra_col
             if fs.kind == 2:
                 selB[lane_of[fs.lane + 1], s] = 0.0
         sel_idx = len(sel_list)
@@ -284,7 +300,7 @@ def pack_tracks(tr: DPTracks):
         groups.append(PKFixedGroup(jump=jump, kind=kind, sel_idx=sel_idx,
                                    selb_idx=selb_idx, gate_bit=gi,
                                    states=tuple(fs.state for fs in fss)))
-    ip_misc[:, GATE_LANE] = gate_bits
+    m_ip_misc[GATE_LANE] = xicol(gate_bits[:n])
 
     # ---- lenvec / fsel-mask pack ----------------------------------------
     lv_parts: List[np.ndarray] = []
@@ -297,42 +313,39 @@ def pack_tracks(tr: DPTracks):
         lv_cursor[0] += v.shape[0]
         return off
 
-    # ---- G/cum HBM array -------------------------------------------------
+    # ---- G/cum sources (gcum assembled on device) ------------------------
     G_all = arr["G_all"]             # (NG, C, 3, GPAD + n + END_PAD)
     cum_all = arr["cum_all"]         # (NCU, C, GPAD + n + 1 + END_PAD)
     NG = G_all.shape[0]
     NCU = cum_all.shape[0]
     GPAD = G_all.shape[-1] - n - END_PAD
     NGR = _round_up(NG * 3 + NCU, 8)
-    gcum = np.full((C, NGR, W_PAD + n_pad + EP), NEG, dtype=np.float32)
-    for g in range(NG):
-        for ph in range(3):
-            gcum[:, g * 3 + ph, W_PAD: W_PAD + n] = \
-                G_all[g, :, ph, GPAD: GPAD + n]
-    for u in range(NCU):
-        gcum[:, NG * 3 + u, W_PAD: W_PAD + n] = \
-            cum_all[u, :, GPAD + 1: GPAD + 1 + n]      # cum1[p] = cum[p+1]
+    G_src = np.ascontiguousarray(G_all[:, :, :, GPAD: GPAD + n])
+    cum_src = np.ascontiguousarray(
+        cum_all[:, :, GPAD + 1: GPAD + 1 + n])         # cum1[p] = cum[p+1]
 
     # ---- lessD ------------------------------------------------------------
     lessd_list: List[PKLessD] = []
     NMS = _round_up(max(2 * len(st.lessd), 1), 8)
-    msk = np.zeros((NMS, W_PAD + n_pad + EP), dtype=np.int32)
     bv_all = arr.get("lessd_bvalid_all")
     bs_all = arr.get("lessd_bstop_all")
+    L = len(st.lessd)
+    bv_src = np.zeros((L, n), dtype=np.int8)
+    bs_src = np.zeros((L, n), dtype=np.int8)
     for li, lsd in enumerate(st.lessd):
         pad_scan = bv_all.shape[1] - n - END_PAD
-        msk[2 * li, W_PAD: W_PAD + n] = bv_all[li, pad_scan: pad_scan + n]
-        msk[2 * li + 1, W_PAD: W_PAD + n] = bs_all[li, pad_scan: pad_scan + n]
+        bv_src[li] = bv_all[li, pad_scan: pad_scan + n]
+        bs_src[li] = bs_all[li, pad_scan: pad_scan + n]
         off = lv_add(arr[lsd.lenvec_key])          # already reversed
         # fold j_gate into psi: all scores NEG when the end is gated off
         psi = stab[:, lsd.psi_col]
         jgate = itab[:, lsd.jgate_col] != 0
-        sp_state[:n, lsd.state] = np.where(jgate, psi, NEG)
+        m_sp_state[lsd.state] = xscol(np.where(jgate, psi, NEG))
         lessd_list.append(PKLessD(
             state=lsd.state, lane=lane_of[lsd.lane], window=lsd.window,
             cum_row=NG * 3 + lsd.cum_id, valid_row=2 * li,
             stop_row=2 * li + 1, lv_off=off, jsel_lane=8 + li))
-        ip_misc[:n, 8 + li] = itab[:, lsd.jsel_col]
+        m_ip_misc[8 + li] = lsd.jsel_col
 
     # ---- pinned ------------------------------------------------------------
     # the pinned-history ring must cover the furthest back-reference
@@ -341,9 +354,9 @@ def pack_tracks(tr: DPTracks):
     pinned_list: List[PKPinned] = []
     reach = W_PAD
     for pi, psd in enumerate(st.pinned):
-        sp_state[:n, psd.state] = stab[:, psd.score_col]
+        m_sp_state[psd.state] = psd.score_col
         eopv = itab[:, psd.eop_col]
-        ip_misc[:n, pi] = eopv
+        m_ip_misc[pi] = psd.eop_col
         live = stab[:, psd.score_col] > float(NEG) / 2
         if live.any():
             reach = max(reach, int((np.arange(n) - eopv)[live].max()))
@@ -360,8 +373,8 @@ def pack_tracks(tr: DPTracks):
     # x-side per-position scalars (stab/itab columns) are packed into two
     # j-planes XH (f32) / XI (i32); window rows (hw_all) into an HBM array
     # DMA'd per block like gcum.
-    xh = np.zeros((n_pad, 128), dtype=np.float32)
-    xi = np.full((n_pad, 128), INT_FILL, dtype=np.int32)
+    m_xh = np.full(128, -1, dtype=np.int32)
+    m_xi = np.full(128, -1, dtype=np.int32)
     _xh_lanes: Dict[int, int] = {}
     _xi_lanes: Dict[int, int] = {}
 
@@ -370,7 +383,7 @@ def pack_tracks(tr: DPTracks):
             if len(_xh_lanes) >= 128:
                 raise PallasFallback("too many hint scalar columns")
             _xh_lanes[col] = len(_xh_lanes)
-            xh[:n, _xh_lanes[col]] = stab[:, col]
+            m_xh[_xh_lanes[col]] = col
         return _xh_lanes[col]
 
     def xi_lane(col: int) -> int:
@@ -378,7 +391,7 @@ def pack_tracks(tr: DPTracks):
             if len(_xi_lanes) >= 128:
                 raise PallasFallback("too many hint int columns")
             _xi_lanes[col] = len(_xi_lanes)
-            xi[:n, _xi_lanes[col]] = itab[:, col]
+            m_xi[_xi_lanes[col]] = col
         return _xi_lanes[col]
 
     def pk_hint(hs) -> PKHint:
@@ -405,12 +418,9 @@ def pack_tracks(tr: DPTracks):
     hw_all = arr["hw_all"]                       # (NHW, GPAD + n + END_PAD)
     NHW = hw_all.shape[0]
     NHWp = _round_up(max(NHW, 1), 8)
-    hw_hbm = np.zeros((NHWp, W_PAD + n_pad + EP), dtype=np.float32)
-    if NHW:
-        gp_scan = hw_all.shape[1] - n - END_PAD
-        hw_hbm[:NHW, W_PAD: W_PAD + n] = hw_all[:, gp_scan: gp_scan + n]
-        hw_hbm[:NHW, W_PAD + n:] = hw_all[:, gp_scan + n - 1: gp_scan + n] \
-            if n else 0.0
+    gp_scan = hw_all.shape[1] - n - END_PAD
+    hw_src = np.ascontiguousarray(hw_all[:, gp_scan: gp_scan + n]) \
+        if NHW else np.zeros((0, n), np.float32)
 
     conv_list: List[PKConv] = []
     for ci, ecs in enumerate(st.convs):
@@ -431,16 +441,16 @@ def pack_tracks(tr: DPTracks):
                 lv_add(m[2])
             h_lane = ci * CH + vi
             assert h_lane < 128
-            sp_convH[:n, h_lane] = stab[:, var.h_col]
+            m_sp_convH[h_lane] = var.h_col
             vs.append(PKVariant(width=var.width, len_lo=var.len_lo,
                                 len_hi=var.len_hi, lv_off=lvoff,
                                 fm_off=fmoff, g3row=var.g_id * 3,
                                 h_lane=h_lane))
         ip_lane = 18 + ci * 3
         assert ip_lane + 2 < 64
-        ip_conv[:n, ip_lane] = itab[:, ecs.gate_col]
-        ip_conv[:n, ip_lane + 1] = itab[:, ecs.smin_col]
-        ip_conv[:n, ip_lane + 2] = itab[:, ecs.smax_col]
+        m_ip_conv[ip_lane] = ecs.gate_col
+        m_ip_conv[ip_lane + 1] = ecs.smin_col
+        m_ip_conv[ip_lane + 2] = ecs.smax_col
         conv_list.append(PKConv(
             state=ecs.state, bpl=ecs.bpl, a_off=ecs.a_off,
             lane=lane_of[ecs.lane], frame_mode=ecs.frame_mode,
@@ -480,20 +490,102 @@ def pack_tracks(tr: DPTracks):
         gate_lane=GATE_LANE, cls_lane=CLS_LANE,
         NHW=NHWp if any(c.hint is not None for c in conv_list) else 0,
         hint_lm=st.hint_lm, PHW=PHW)
-    if not any(c.hint is not None for c in conv_list):
-        # no sparse hints: ship minimal dummies (the kernel skips the DMAs)
-        xh = np.zeros((8, 128), dtype=np.float32)
-        xi = np.zeros((8, 128), dtype=np.int32)
-        hw_hbm = np.zeros((8, 128), dtype=np.float32)
 
     arrays = {
-        "sp_state": sp_state, "sp_geo": sp_geo, "sp_convH": sp_convH,
-        "ip_conv": ip_conv, "ip_misc": ip_misc,
-        "xh_plane": xh, "xi_plane": xi, "hw_hbm": hw_hbm,
-        "gcum_hbm": gcum, "msk_hbm": msk,
+        "stab": stab, "itab": itab,
+        "xstab": (np.stack(xtra_s, axis=1) if xtra_s
+                  else np.zeros((n, 0), np.float32)),
+        "xitab": (np.stack(xtra_i, axis=1) if xtra_i
+                  else np.zeros((n, 0), np.int32)),
+        "m_sp_state": m_sp_state, "m_sp_geo": m_sp_geo,
+        "m_sp_convH": m_sp_convH, "m_ip_conv": m_ip_conv,
+        "m_ip_misc": m_ip_misc, "m_xh": m_xh, "m_xi": m_xi,
+        "G_src": G_src, "cum_src": cum_src,
+        "bv_src": bv_src, "bs_src": bs_src, "hw_src": hw_src,
         "ltc_all": ltc_all, "lt_T": lt_T, "sel_pack": sel_pack,
         "lv_pack": lv_pack, "v0": v0, "l0": l0, "a0": a0,
         "cls_blk": cls_blk,
         "log_term": np.asarray(arr["log_term"]),
     }
     return static, arrays
+
+
+def expand_arrays(st: PKStatic, a):
+    """Materialize the kernel's dense planes from the compact arrays.
+
+    Pure jnp — runs inside the jitted program (same device buffers feed
+    the kernel directly), producing bit-identical planes to the former
+    host materialization.  The H2D payload shrinks from ~3 GB/Mb (dense
+    (n_pad,128) planes + padded gcum) to the consolidated tables + pool
+    sources (~0.6 GB/Mb), and the host no longer allocates the planes at
+    all."""
+    import jax.numpy as jnp
+    n, n_pad, C = st.n, st.n_pad, st.C
+    stab, xstab = a["stab"], a["xstab"]
+    tabs = jnp.concatenate([stab, xstab], axis=1) \
+        if xstab.shape[1] else stab
+    tabi = jnp.concatenate([a["itab"], a["xitab"]], axis=1) \
+        if a["xitab"].shape[1] else a["itab"]
+
+    def plane(tab, m, default, dtype):
+        safe = jnp.where(m < 0, 0, m)
+        g = jnp.take(tab, safe, axis=1).astype(dtype)
+        g = jnp.where((m >= 0)[None, :], g,
+                      jnp.asarray(default, dtype=dtype))
+        pad = jnp.full((n_pad - n, 128), default, dtype=dtype)
+        return jnp.concatenate([g, pad], axis=0)
+
+    out = {
+        "sp_state": plane(tabs, a["m_sp_state"], NEG, jnp.float32),
+        "sp_geo": plane(tabs, a["m_sp_geo"], 0.0, jnp.float32),
+        "sp_convH": plane(tabs, a["m_sp_convH"], NEG, jnp.float32),
+        "ip_conv": plane(tabi, a["m_ip_conv"], 0, jnp.int32),
+        "ip_misc": plane(tabi, a["m_ip_misc"], 0, jnp.int32),
+    }
+    if st.NHW:
+        out["xh_plane"] = plane(tabs, a["m_xh"], 0.0, jnp.float32)
+        out["xi_plane"] = plane(tabi, a["m_xi"], int(INT_FILL), jnp.int32)
+        hw = a["hw_src"]
+        NHW0 = hw.shape[0]
+        last = jnp.broadcast_to(hw[:, n - 1: n], (NHW0, n_pad + EP - n))
+        hwf = jnp.concatenate(
+            [jnp.zeros((NHW0, W_PAD), jnp.float32), hw, last], axis=1)
+        out["hw_hbm"] = jnp.concatenate(
+            [hwf, jnp.zeros((st.NHW - NHW0, W_PAD + n_pad + EP),
+                            jnp.float32)], axis=0) \
+            if st.NHW > NHW0 else hwf
+    else:
+        # no sparse hints: minimal dummies (the kernel skips the DMAs)
+        out["xh_plane"] = jnp.zeros((8, 128), jnp.float32)
+        out["xi_plane"] = jnp.zeros((8, 128), jnp.int32)
+        out["hw_hbm"] = jnp.zeros((8, 128), jnp.float32)
+
+    # gcum: rows [g*3+ph for g, ph] then [NG*3+u], padded to NGR, cols
+    # front-padded by W_PAD and NEG beyond n
+    G = a["G_src"]                        # (NG, C, 3, n)
+    NG = G.shape[0]
+    cum = a["cum_src"]                    # (NCU, C, n)
+    NCU = cum.shape[0]
+    parts = []
+    if NG:
+        parts.append(jnp.transpose(G, (1, 0, 2, 3)).reshape(C, NG * 3, n))
+    if NCU:
+        parts.append(jnp.transpose(cum, (1, 0, 2)))
+    body = jnp.concatenate(parts, axis=1) if parts \
+        else jnp.zeros((C, 0, n), jnp.float32)
+    body = jnp.pad(body, ((0, 0), (0, st.NGR - NG * 3 - NCU), (0, 0)),
+                   constant_values=NEG)
+    out["gcum_hbm"] = jnp.pad(
+        body, ((0, 0), (0, 0), (W_PAD, n_pad + EP - n)),
+        constant_values=NEG)
+
+    bv = a["bv_src"].astype(jnp.int32)    # (L, n)
+    bs = a["bs_src"].astype(jnp.int32)
+    L = bv.shape[0]
+    if L:
+        m = jnp.stack([bv, bs], axis=1).reshape(2 * L, n)
+    else:
+        m = jnp.zeros((0, n), jnp.int32)
+    m = jnp.pad(m, ((0, st.NMS - 2 * L), (0, 0)))
+    out["msk_hbm"] = jnp.pad(m, ((0, 0), (W_PAD, n_pad + EP - n)))
+    return out

@@ -637,10 +637,14 @@ def make_pallas_fn(st: PKStatic, interpret: bool = False):
     )
 
     def _run(a):
+        from .pallas_pack import expand_arrays
+        p = expand_arrays(st, a)         # compact inputs -> dense planes,
+        #                                  fused with the kernel call on
+        #                                  device (nothing leaves HBM)
         return call(
-            a["cls_blk"], a["sp_state"], a["sp_geo"], a["sp_convH"],
-            a["ip_conv"], a["ip_misc"], a["xh_plane"], a["xi_plane"],
-            a["hw_hbm"], a["gcum_hbm"], a["msk_hbm"],
+            a["cls_blk"], p["sp_state"], p["sp_geo"], p["sp_convH"],
+            p["ip_conv"], p["ip_misc"], p["xh_plane"], p["xi_plane"],
+            p["hw_hbm"], p["gcum_hbm"], p["msk_hbm"],
             a["ltc_all"], a["lt_T"], a["sel_pack"], a["lv_pack"],
             a["v0"], a["l0"], a["a0"], a["cmask"])
 
@@ -692,21 +696,23 @@ class PallasEngine:
             raise RuntimeError("No feasible path found in HMM (pallas)")
         return state
 
-    def _trace_packed(self) -> np.ndarray:
+    def _trace_packed(self):
         from .traceback import make_trace_fn
         state0 = self._walk_start()
         fn = make_trace_fn(self.n, 0)
-        return np.asarray(fn(self._bps_dev, state0))
+        packed, final_base = fn(self._bps_dev, state0)
+        return np.asarray(packed), int(final_base)
 
     def traceback(self):
         """Raw segment list (kernel bp row j == scan bps[j-1])."""
         from .traceback import raw_segments
-        return raw_segments(self._trace_packed(),
-                            self.tracks.gold.sg.state_types)
+        packed, fb = self._trace_packed()
+        return raw_segments(packed, fb, self.tracks.gold.sg.state_types)
 
     def traceback_path(self, dnalen: int):
         """Condensed PathState list (fast path: device walk + vectorized
         merge; equals og.condense_path(self.traceback(), dnalen))."""
         from .traceback import condensed_path
-        return condensed_path(self._trace_packed(), dnalen,
+        packed, fb = self._trace_packed()
+        return condensed_path(packed, fb, dnalen,
                               self.tracks.gold.sg.state_types)

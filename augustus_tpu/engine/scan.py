@@ -151,16 +151,27 @@ def split_tracks(tr: DPTracks):
     cls = tr.stairs.astype(np.int64)
     pos = np.arange(n)
 
-    scal_cols: List[np.ndarray] = []
-    int_cols: List[np.ndarray] = []
+    # tables are written column-by-column into preallocated buffers
+    # (growing by doubling) — stacking dozens of (n,) temporaries at the
+    # end costs ~10 s/Mb on this host
+    sbuf = [np.empty((n, 32), dtype=np.float32), 0]
+    ibuf = [np.empty((n, 16), dtype=np.int32), 0]
+
+    def _put(buf, values):
+        a, k = buf
+        if k == a.shape[1]:
+            grown = np.empty((n, a.shape[1] * 2), a.dtype)
+            grown[:, :k] = a
+            buf[0] = a = grown
+        a[:, k] = values
+        buf[1] = k + 1
+        return k
 
     def scol(values: np.ndarray) -> int:
-        scal_cols.append(np.asarray(values, dtype=np.float32))
-        return len(scal_cols) - 1
+        return _put(sbuf, values)
 
     def icol(values: np.ndarray) -> int:
-        int_cols.append(np.asarray(values, dtype=np.int32))
-        return len(int_cols) - 1
+        return _put(ibuf, values)
 
     cls_col = icol(cls)
 
@@ -381,8 +392,10 @@ def split_tracks(tr: DPTracks):
                           (phi.astype(np.int32) << 1)),
             variants=tuple(vs), hint=hint_static(ecs)))
 
-    arrays["scalar_table"] = np.stack(scal_cols, axis=1)    # (n, NSC)
-    arrays["int_table"] = np.stack(int_cols, axis=1)        # (n, NIC)
+    arrays["scalar_table"] = np.ascontiguousarray(
+        sbuf[0][:, : sbuf[1]])                              # (n, NSC)
+    arrays["int_table"] = np.ascontiguousarray(
+        ibuf[0][:, : ibuf[1]])                              # (n, NIC)
     arrays["hw_all"] = np.stack(hw_rows) if hw_rows else \
         np.zeros((0, GPAD + n + END_PAD), np.float32)
     arrays["n_true"] = np.int32(n)      # overwritten by bucketed callers
@@ -394,7 +407,7 @@ def split_tracks(tr: DPTracks):
                    tr.hint_lm["local_cp"])
     static = ScanStatic(
         n=n, S=tr.S, NL=tr.n_lanes, C=C, PAD=PAD, GPAD=GPAD,
-        NSC=len(scal_cols), NIC=len(int_cols),
+        NSC=sbuf[1], NIC=ibuf[1],
         chain=chain_s, fixed=tuple(fixed_s), lessd=tuple(lessd_s),
         pinned=pinned_s, convs=tuple(convs), cls_col=cls_col,
         NHW=len(hw_rows), hint_lm=hint_lm)
@@ -1000,19 +1013,21 @@ class ScanEngine:
             raise RuntimeError("No feasible path found in HMM (scan)")
         return state
 
-    def _trace_packed(self) -> np.ndarray:
+    def _trace_packed(self):
         from .traceback import make_trace_fn
         state0 = self._walk_start()
         fn = make_trace_fn(self.n, -1)
-        return np.asarray(fn(self._bps_dev, state0))
+        packed, final_base = fn(self._bps_dev, state0)
+        return np.asarray(packed), int(final_base)
 
     def traceback(self) -> List[Tuple[int, int, ST]]:
         from .traceback import raw_segments
-        return raw_segments(self._trace_packed(),
-                            self.tracks.gold.sg.state_types)
+        packed, fb = self._trace_packed()
+        return raw_segments(packed, fb, self.tracks.gold.sg.state_types)
 
     def traceback_path(self, dnalen: int):
         """Condensed PathState list; equals og.condense_path(traceback())."""
         from .traceback import condensed_path
-        return condensed_path(self._trace_packed(), dnalen,
+        packed, fb = self._trace_packed()
+        return condensed_path(packed, fb, dnalen,
                               self.tracks.gold.sg.state_types)

@@ -65,25 +65,28 @@ def make_trace_fn(n: int, row_off: int):
             return (read_base, pending, state), emit
 
         init = (jnp.int32(n - 1), jnp.int32(state0), jnp.int32(0))
-        _, emits = jax.lax.scan(step, init, (rows, jidx))
-        return jnp.flip(emits, axis=0)                     # j = 1 .. n-1
+        carry, emits = jax.lax.scan(step, init, (rows, jidx))
+        # carry[0] = the final walk base (pb of the last segment; may be -1
+        # when the first segment begins at position 0)
+        return jnp.flip(emits, axis=0), carry[0]           # j = 1 .. n-1
 
     return jax.jit(fn)
 
 
-def raw_segments(packed: np.ndarray, types) -> List[Tuple[int, int, object]]:
+def raw_segments(packed: np.ndarray, final_base: int, types
+                 ) -> List[Tuple[int, int, object]]:
     """Exact raw segment list of the host walk from the packed emits."""
     states = packed & 0xFF
     ends = np.flatnonzero((packed >> FLAG_BIT) & 1) + 1    # j values
     begins = np.empty_like(ends)
-    begins[0] = 1
+    begins[0] = final_base + 1     # last walk base (may be -1 -> begin 0)
     begins[1:] = ends[:-1] + 1
     st = states[ends - 1]
     return [(int(b), int(e), types[int(s)])
             for b, e, s in zip(begins, ends, st)]
 
 
-def condensed_path(packed: np.ndarray, dnalen: int, types):
+def condensed_path(packed: np.ndarray, final_base: int, dnalen: int, types):
     """List[PathState] identical to og.condense_path(raw_segments(...)).
 
     Merges adjacent same-type non-coding-exon runs with numpy instead of a
@@ -101,7 +104,7 @@ def condensed_path(packed: np.ndarray, dnalen: int, types):
     if ends.size == 0:
         return []
     begins = np.empty_like(ends)
-    begins[0] = 1
+    begins[0] = final_base + 1     # last walk base (may be -1 -> begin 0)
     begins[1:] = ends[:-1] + 1
     segt = states[ends - 1]
 

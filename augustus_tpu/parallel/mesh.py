@@ -135,6 +135,6 @@ def decode_pieces(model, piece_inputs, engine: str = "auto"):
             se.n_true = packed[i][3]
             se.n, se.S = packed[i][3], tracks.S
             se.v_final = vfin[k]
-            se.backptr = bps[k]
+            se._bps_dev = bps[k]
             results[i] = se.traceback()
     return list(zip(results, golds))
