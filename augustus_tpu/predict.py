@@ -109,13 +109,16 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
       "scan"   — force the XLA scan engine (raises if unsupported)
       "gold"   — host float64 oracle
     """
+    from . import stats
     if engine in ("auto", "pallas", "scan"):
         from .engine.device import build_tracks, UnsupportedByDevice
         from .engine.scan import ScanEngine, ForwardEngine
         from .engine.pallas_pack import PallasFallback
-        gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
+        with stats.stage("prep"):
+            gold.prepare(codes, softmask=softmask, gff_hints=gff_hints)
         try:
-            tracks = build_tracks(gold)
+            with stats.stage("build_tracks"):
+                tracks = build_tracks(gold)
         except UnsupportedByDevice:
             if engine != "auto":
                 raise
@@ -144,15 +147,21 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
                     # the kernel targets the TPU Mosaic backend; interpret
                     # mode is far slower than the XLA scan on CPU
                     raise PallasFallback("no TPU device")
-                pe = PallasEngine(tracks)
-                pe.run()
-                return pe.traceback_path(codes.shape[0])
+                with stats.stage("pack"):
+                    pe = PallasEngine(tracks)
+                with stats.stage("device_dp"):
+                    pe.run()
+                with stats.stage("traceback"):
+                    return pe.traceback_path(codes.shape[0])
             except PallasFallback:
                 if engine == "pallas":
                     raise
-        se = ScanEngine(tracks)
-        se.run()
-        return se.traceback_path(codes.shape[0])
+        with stats.stage("pack"):
+            se = ScanEngine(tracks)
+        with stats.stage("device_dp"):
+            se.run()
+        with stats.stage("traceback"):
+            return se.traceback_path(codes.shape[0])
     gold.run(codes, softmask=softmask, gff_hints=gff_hints,
              need_forward=need_forward)
     return og.condense_path(gold.traceback(), codes.shape[0])
@@ -197,11 +206,13 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
         sample_iters = 1
     need_forward = sample_iters > 1
 
+    from . import stats
     if precomputed is not None and not need_forward:
         path = og.condense_path(precomputed[0], codes.shape[0])
     else:
         path = _decode(gold, codes, softmask, gff_hints, engine,
                        need_forward)
+    _t_proj = __import__("time").time()
     genes = og.project_onto_genes(path, cn)
     # reference NAMGene::findGenes (namgene.cc:812-906): viterbi transcripts
     # enter with weight 1, sampled paths accumulate posterior counts
@@ -284,6 +295,7 @@ def _find_genes(model: Model, codes: np.ndarray, softmask, gff_hints,
                 tx.set_state_has_score(False)
     for ag in agl:
         og.sort_transcripts(ag)
+    stats.add("project", __import__("time").time() - _t_proj)
     # evidence must be compiled in piece-local coordinates (reference
     # joinGenesFromPredRuns, extrinsicinfo.cc:1553)
     with_evidence = bool(getattr(gold, "has_hints", False)) or \
@@ -645,9 +657,11 @@ def predict_sequence(model: Model, rec: FastaRecord, seq_number: int = 1,
                 all_transcripts.append(tx)
         total += len(agl)
         if agl:
-            bodies.append(og.print_gene_list(
-                agl, codes, o, model.gcode, with_evidence=with_evidence,
-                seq_offset=offset))
+            from . import stats
+            with stats.stage("print"):
+                bodies.append(og.print_gene_list(
+                    agl, codes, o, model.gcode,
+                    with_evidence=with_evidence, seq_offset=offset))
 
     header = [
         f"#",

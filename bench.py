@@ -62,13 +62,17 @@ def main() -> int:
         "extrinsicCfgFile": os.path.join(
             CONFIG, "extrinsic", "extrinsic.M.RM.E.W.cfg")})
 
+    from augustus_tpu import stats
+
     t0 = time.time()
     out = predict_file(model, fa, engine="auto")
     cold_s = time.time() - t0
 
+    stats.reset(True)
     t0 = time.time()
     out = predict_file(model, fa, engine="auto")
     warm_s = time.time() - t0
+    sys.stderr.write("# " + stats.report() + "\n")
     ngenes = sum(1 for l in out.splitlines() if "\tgene\t" in l)
 
     mbps = n / warm_s / 1e6

@@ -1,0 +1,96 @@
+"""PPX: .prfl parsing, fastBlockSearch and pp_simScore parity.
+
+Goldens were produced by the reference binaries (fastBlockSearch,
+pp_simScore from AUGUSTUS 3.5.0) on a deterministic planted sequence /
+the shipped examples; the outputs here must match byte-for-byte
+(fastBlockSearch) or in all printed digits (pp_simScore).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from augustus_tpu import genetics
+from augustus_tpu.ppx.fastblock import format_results, search
+from augustus_tpu.ppx.profile import AA_SYMBOLS, Profile
+from augustus_tpu.ppx.simscore import SimilarityScore
+
+HERE = os.path.dirname(__file__)
+PRFL = "/root/reference/examples/profile/PF00171.15.prfl"
+SIMDIR = "/root/reference/examples/sim-score"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/examples"),
+    reason="reference examples not available")
+
+
+def _planted_sequence() -> str:
+    """Consensus codons of every block embedded in random DNA (the
+    fixture the stored reference goldens were generated from)."""
+    prfl = Profile(PRFL)
+    gc = genetics.GeneticCode(1)
+    aa2codon = {}
+    for cid in range(64):
+        aa = str(gc.aa_of_codon[cid])
+        if aa not in aa2codon:
+            aa2codon[aa] = "".join(
+                "acgt"[(cid >> (2 * (2 - i))) & 3] for i in range(3))
+    rng = np.random.RandomState(42)
+
+    def rand_dna(n):
+        return "".join("acgt"[i] for i in rng.randint(0, 4, n))
+
+    parts = [rand_dna(999)]
+    for b in prfl.blocks:
+        cons = "".join(AA_SYMBOLS[int(np.argmax(b.values[i]))]
+                       for i in range(b.size))
+        parts.append("".join(aa2codon[a] for a in cons))
+        parts.append(rand_dna(60))
+    parts.append(rand_dna(900))
+    return "".join(parts)
+
+
+def test_profile_parse():
+    prfl = Profile(PRFL)
+    # 20 blocks in the file; F, J, N are statistically insignificant and
+    # dropped (reference prints the same three warnings)
+    assert prfl.block_count() == 17
+    assert prfl[0].id == "PF00171.15_A"
+    assert prfl[0].size == 20
+    ids = [b.id for b in prfl.blocks]
+    assert "PF00171.15_F" not in ids and "PF00171.15_J" not in ids
+
+
+def test_fastblock_forward_golden():
+    seq = _planted_sequence()
+    prfl = Profile(PRFL)
+    groups = search(seq, prfl, cutoff=0.5)
+    text = format_results("planted test", groups)
+    with open(os.path.join(HERE, "data", "golden_ppx_fbs.out")) as fh:
+        assert text == fh.read()
+
+
+def test_fastblock_reverse_golden():
+    seq = _planted_sequence()
+    rc = "".join({"a": "t", "c": "g", "g": "c", "t": "a"}[c]
+                 for c in reversed(seq))
+    prfl = Profile(PRFL)
+    groups = search(rc, prfl, cutoff=0.5)
+    text = format_results("planted rc test", groups)
+    with open(os.path.join(HERE, "data", "golden_ppx_fbs_rc.out")) as fh:
+        assert text == fh.read()
+
+
+def test_simscore_examples():
+    ss = SimilarityScore()
+    ss.read(os.path.join(SIMDIR, "EDW03868.1.fa"),
+            os.path.join(SIMDIR, "EOG09150290.prfl"))
+    ss.fill()
+    assert f"{ss.score():.6g}" == "937.084"   # reference pp_simScore
+
+    ss2 = SimilarityScore(intron_weight_inter=0.0, gap_inter=-3.0)
+    ss2.read(os.path.join(SIMDIR, "EDW03868.1.fa"),
+             os.path.join(SIMDIR, "EOG09150290.prfl"))
+    ss2.fill()
+    assert f"{ss2.score():.6g}" == "925.206"
