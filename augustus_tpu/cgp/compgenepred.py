@@ -33,7 +33,14 @@ from .phylo import ExonEvo, PhyloTree
 from .seq_access import MemSeqAccess
 from .speciesgraph import PathNode, longest_paths, score_candidates
 
-VITERBI_BONUS = 25.0     # decode exons carry the full GHMM signal
+# Viterbi decode exons carry the full GHMM signal (the reference gets the
+# analogous evidence from sampled-path posteriors); ortho exons add a
+# codon-evolution bonus from the omega (dN/dS) posterior — purifying
+# selection (omega < 1) is evidence for real coding exons (reference
+# scores this via CodonEvo omegas + logistic-regression features,
+# src/codonevo.cc:510, src/compgenepred.cc:489-517).
+VITERBI_PRIOR = 15.0
+OMEGA_BONUS = 20.0
 
 
 class CompGenePred:
@@ -69,6 +76,12 @@ class CompGenePred:
             out[s] = body
             with open(os.path.join(self.outdir, f"{s}.cgp.gff"), "w") as fh:
                 fh.write(body)
+        # ortho-exon tracks with omega attributes (reference writes
+        # orthoExons.<species>.gff3, geneMSA.cc:516-529)
+        for s, lines in getattr(self, "_oe_lines", {}).items():
+            with open(os.path.join(self.outdir,
+                                   f"orthoExons.{s}.gff3"), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
         return out
 
     # ------------------------------------------------------------------
@@ -141,7 +154,7 @@ class CompGenePred:
             vit_keys = {ec.key() for ec in vit}
             for nd in nodes:
                 if nd.ec.key() in vit_keys:
-                    nd.base += VITERBI_BONUS
+                    nd.base += VITERBI_PRIOR
             # cap the graph: all decode exons + the best candidates
             # (reference prunes via sampling posteriors + EC thresholds)
             keep = [nd for nd in nodes if nd.ec.key() in vit_keys]
@@ -158,6 +171,7 @@ class CompGenePred:
         hects.sort(key=lambda oe: -len(oe.members))
         hects = hects[:500]
         tree = self.tree.drop_missing(list(species_nodes))
+        self._score_omegas(tree, hects, seqs, species_nodes, gr)
         paths, hects = dual_decomp(tree, self.evo, species_nodes, hects,
                                    seq_lens)
 
@@ -191,6 +205,85 @@ class CompGenePred:
                 body.append("\n".join(lines) + "\n")
                 body.append(f"# end gene {g.geneid}\n###\n")
             texts[spec].append(header + "".join(body))
+
+    # ------------------------------------------------------------------
+    def _score_omegas(self, tree, hects, seqs, species_nodes, gr) -> None:
+        """Per-HECT omega (dN/dS) estimation on codon alignments and the
+        derived exon-candidate bonus (replaces the former flat bonus).
+
+        Reference: CompGenePred computes omegas on ortho-exon codon
+        alignments (computeOmegasEff, compgenepred.cc:837 ->
+        codonevo.cc:510) and feeds them into the exon scoring.  Codon
+        tuples here are built by trimming member exon sequences to the
+        common codon count (adequate for colinear alignments; gap-aware
+        tuple extraction via the MAF rows is a TODO noted in
+        cgp/alignment.py)."""
+        from .codonevo import CodonEvo, estimate_pi
+        if not hects:
+            self._oe_lines = getattr(self, "_oe_lines", {})
+            return
+        exon_seqs = []
+        for oe in hects:
+            for spec, ec in oe.members.items():
+                if spec in seqs:
+                    exon_seqs.append(seqs[spec][ec.begin: ec.end + 1])
+        pi = estimate_pi(exon_seqs)
+        k = self.model.props.get_int("/CompPred/num_omega", 20)
+        bl = [n.length for n in tree.nodes if n is not tree.root]
+        evo = CodonEvo(pi, bl if bl else [0.1], k=k)
+        node_by_key = {
+            spec: {nd.ec.key(): nd for nd in nodes}
+            for spec, nodes in species_nodes.items()}
+        self._oe_lines = getattr(self, "_oe_lines", {})
+        self._oe_id = getattr(self, "_oe_id", 0)
+        leaf_order = tree.leaf_names
+        for oe in hects:
+            membs = [(s, ec) for s, ec in oe.members.items() if s in seqs]
+            if len(membs) < 2:
+                continue
+            ncod = min((ec.end - ec.begin + 1 - ec.frame) // 3
+                       for _, ec in membs)
+            if ncod < 2:
+                continue
+            tuples = np.full((ncod, len(leaf_order)), 64, dtype=np.int64)
+            for s, ec in membs:
+                if s not in leaf_order:
+                    continue
+                col = leaf_order.index(s)
+                sub = seqs[s][ec.begin + ec.frame:
+                              ec.begin + ec.frame + 3 * ncod]
+                codes = genetics.encode(sub.lower())
+                cods = codes.reshape(ncod, 3).astype(np.int64)
+                ok = (cods < 4).all(axis=1)
+                ids = cods[:, 0] * 16 + cods[:, 1] * 4 + cods[:, 2]
+                tuples[ok, col] = ids[ok]
+            omega, subst, post = evo.est_omega(tree, tuples)
+            oe.omega = omega
+            oe.subst = subst
+            oe.post_omega = post
+            self._oe_id += 1
+            oe.ID = self._oe_id
+            # conserved coding evidence: omega posterior below 1
+            bonus = OMEGA_BONUS * max(0.0, 1.0 - post) * \
+                min(ncod, 20) / 20.0
+            for s, ec in membs:
+                nd = node_by_key.get(s, {}).get(ec.key())
+                if nd is not None:
+                    nd.base += bonus
+            # orthoExons.<species>.gff3 lines (reference
+            # GeneMSA::printSingleOrthoExon, geneMSA.cc:529)
+            tname = {SINGLE: "single", INITIAL: "initial",
+                     INTERNAL: "internal", TERMINAL: "terminal"}
+            for s, ec in membs:
+                seqid, lo, hi, _ = gr.intervals[s]
+                line = (f"{seqid}\tOE1\texon\t{ec.begin + lo + 1}\t"
+                        f"{ec.end + lo + 1}\t{ec.score:.3g}\t{ec.strand}\t"
+                        f"{(3 - ec.frame) % 3}\t"
+                        f"ID={oe.ID};Name={oe.ID};"
+                        f"Note={tname.get(ec.etype, 'exon')};"
+                        f"n={len(oe.members)};MLomega={omega:g};"
+                        f"Eomega={post:g};subst={subst}")
+                self._oe_lines.setdefault(s, []).append(line)
 
     # ------------------------------------------------------------------
     def _chain_to_gene(self, chain: List[PathNode], spec: str, seqid: str,

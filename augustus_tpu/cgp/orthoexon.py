@@ -21,7 +21,10 @@ class OrthoExon:
     ali_key: Tuple[int, int, int, str]     # (aliStart, aliEnd, type, strand)
     members: Dict[str, ExonCandidate] = field(default_factory=dict)
     phylo_score: float = 0.0               # log-odds present-pattern vs null
-    omega: float = -1.0
+    omega: float = -1.0                    # ML omega (dN/dS), codonevo.py
+    post_omega: float = -1.0               # posterior-mean omega ("Eomega")
+    subst: int = -1                        # Fitch substitution count
+    ID: int = 0
 
     def pattern(self, species: List[str], aligned: Dict[str, bool]):
         """leaf states: 1 member, 0 aligned but absent, -1 unaligned."""

@@ -180,9 +180,3 @@ def felsenstein_batch(tree: PhyloTree, evo: ExonEvo,
     root = like[tree.root.idx]
     with np.errstate(divide="ignore"):
         return np.log(np.maximum(root @ evo.pi, 1e-300))
-
-
-def omega_lrt_stub(n_hects: int) -> np.ndarray:
-    """Placeholder column for per-HECT omega (dN/dS) until the codon
-    model lands (reference CodonEvo, src/codonevo.cc)."""
-    return np.full(n_hects, -1.0)

@@ -44,7 +44,28 @@ def cgp_outputs(tmp_path_factory):
                         "UTR": "off", "softmasking": "0"})
     cgp = CompGenePred(model, f"{CGP_DIR}/tree.nwk", f"{CGP_DIR}/aln.maf",
                        f"{CGP_DIR}/genomes.tbl", outdir=str(outdir))
-    return cgp.start(engine="auto")
+    out = cgp.start(engine="auto")
+    out["__outdir__"] = str(outdir)
+    return out
+
+
+@pytest.mark.slow
+def test_cgp_ortho_exon_omegas(cgp_outputs):
+    """orthoExons.<species>.gff3 written with populated omega attributes
+    (reference GeneMSA::printSingleOrthoExon; CodonEvo omega grid)."""
+    outdir = cgp_outputs["__outdir__"]
+    found = 0
+    for spec in ("hg19", "mm9", "bosTau4", "galGal3"):
+        path = os.path.join(outdir, f"orthoExons.{spec}.gff3")
+        if not os.path.exists(path):
+            continue
+        for line in open(path):
+            assert "MLomega=" in line and "Eomega=" in line
+            attrs = dict(kv.split("=", 1)
+                         for kv in line.strip().split("\t")[8].split(";"))
+            assert float(attrs["Eomega"]) > 0
+            found += 1
+    assert found >= 8, "expected omega-annotated ortho exons"
 
 
 @pytest.mark.slow
