@@ -140,6 +140,42 @@ def run_training(args: Dict[str, str],
         print("Writing UTR model parameters [1] to file %s." % path)
         pbl_write.write_utr_pbl(ut, bcs, path)
 
+    # ---- optional CRF (discriminative) phase --------------------------
+    # reference etraining.cc:218 CRFbuildParameters -> CRF::train; the
+    # ML-trained parameter files above are kept as .HMM copies
+    # (etraining.cc:138-141) and the emission sections are re-written
+    # with the discriminatively updated probabilities.
+    if props.get_bool("CRF", False) and ex is not None:
+        import shutil
+        from ..predict import Model
+        from .crf import CRFTrainer
+        rounds = props.get_int("CRF_N", 2)
+        print("use OLM algorithm (Online Large Margin) for training")
+        model = Model.load({
+            "species": props.get("species"),
+            "AUGUSTUS_CONFIG_PATH": props.get("AUGUSTUS_CONFIG_PATH"),
+            "UTR": "off", "softmasking": "0"})
+        crf = CRFTrainer(model, rounds=rounds)
+        crf.train(singles, engine="auto")
+        for name, outkey in (("exonmodel", "/ExonModel/outfile"),
+                             ("intronmodel", "/IntronModel/outfile")):
+            p = os.path.join(sp_dir, props.get(outkey))
+            shutil.copyfile(p, p + ".HMM")
+        for idx in range(n_classes):
+            for f in range(3):
+                ex.gc_emiprobs[idx][f] = \
+                    np.asarray(model.exp.gc[idx].emiprobs[f])
+            if intr is not None:
+                intr.gc_emiprobs[idx] = \
+                    np.asarray(model.inp.gc[idx].emiprobs)
+        path = os.path.join(sp_dir, props.get("/ExonModel/outfile"))
+        print("Writing exon model parameters [1] to file %s." % path)
+        pbl_write.write_exon_pbl(ex, bcs, path)
+        if intr is not None:
+            path = os.path.join(sp_dir, props.get("/IntronModel/outfile"))
+            print("Writing intron model parameters [1] to file %s." % path)
+            pbl_write.write_intron_pbl(intr, bcs, path)
+
 
 def main(argv: List[str] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]

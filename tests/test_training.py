@@ -106,3 +106,42 @@ def test_utr_training_byte_exact(utr_trained_species):
     with gzip.open(os.path.join(DATA, "utr_probs.pbl.gz"), "rt") as fh:
         want = fh.read()
     assert got == want
+
+
+@pytest.mark.slow
+def test_crf_training_updates_weights(tmp_path_factory):
+    """CRF OLM training (reference test_training_new_species_crf
+    analogue): HMM-train on hsackI10, then CRF-train against held-out
+    chr2L genes whose structures the model mispredicts — the margin
+    update must fire and the emission tables must stay distributions."""
+    import numpy as np
+    from augustus_tpu.io.genbank import read_genbank
+    from augustus_tpu.predict import Model
+    from augustus_tpu.training.annotation import split_to_single_gene_seqs
+    from augustus_tpu.training.crf import CRFTrainer
+    from augustus_tpu.training.etraining import run_training
+    from augustus_tpu.training.new_species import create_species
+
+    cfg = tmp_path_factory.mktemp("crfcfg")
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "species", "generic"),
+                    cfg / "species" / "generic")
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "model"), cfg / "model")
+    create_species("crf_species", str(cfg), silent=True)
+    run_training({"species": "crf_species",
+                  "AUGUSTUS_CONFIG_PATH": str(cfg),
+                  "queryfile": "/root/reference/examples/hsackI10.gb"})
+    model = Model.load({"species": "crf_species",
+                        "AUGUSTUS_CONFIG_PATH": str(cfg),
+                        "UTR": "off", "softmasking": "0"})
+    anno = read_genbank("/root/reference/examples/chr2L/genes.gb.train")
+    singles = split_to_single_gene_seqs(anno)[:2]
+    before = [np.array(model.exp.gc[0].emiprobs[f]) for f in range(3)]
+    crf = CRFTrainer(model, rounds=1, chunksize=2)
+    crf.train(singles, engine="auto", log=lambda *a: None)
+    assert crf.num_seen == 2
+    changed = any(not np.allclose(before[f], model.exp.gc[0].emiprobs[f])
+                  for f in range(3))
+    assert changed, "CRF update did not move the emission weights"
+    for f in range(3):
+        p = np.asarray(model.exp.gc[0].emiprobs[f]).reshape(-1, 4)
+        assert np.allclose(p.sum(axis=1), 1.0, atol=1e-9)
