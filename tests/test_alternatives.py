@@ -105,3 +105,29 @@ def test_alternatives_end_to_end():
     assert "582" in ends and ("812" in starts or "1053" in starts)
     # and the losing group must be reported incompatible
     assert "incompatible hint groups: 1" in out
+
+
+@pytest.mark.slow
+def test_alternatives_from_evidence_reference_golden():
+    """Byte-exact vs the reference binary:
+    augustus --species=human --softmasking=0 --UTR=off
+      --hintsfile=examples/hints.gff --extrinsicCfgFile=extrinsic.MPE.cfg
+      --alternatives-from-evidence=true examples/HS04636.fa
+    (golden stored from AUGUSTUS 3.5.0, non-comment lines)."""
+    import os
+    from augustus_tpu.predict import Model, predict_file
+    cfgdir = "/root/reference/config"
+    model = Model.load({
+        "species": "human", "AUGUSTUS_CONFIG_PATH": cfgdir,
+        "softmasking": "0", "UTR": "off",
+        "hintsfile": "/root/reference/examples/hints.gff",
+        "extrinsicCfgFile": os.path.join(cfgdir, "extrinsic",
+                                         "extrinsic.MPE.cfg"),
+        "alternatives-from-evidence": "true"})
+    out = predict_file(model, "/root/reference/examples/HS04636.fa")
+    got = [l for l in out.splitlines() if not l.startswith("#")]
+    here = os.path.dirname(__file__)
+    with open(os.path.join(here, "data",
+                           "golden_alt_evidence_HS04636.gff")) as fh:
+        want = fh.read().splitlines()
+    assert got == want
