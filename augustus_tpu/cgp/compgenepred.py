@@ -45,10 +45,17 @@ OMEGA_BONUS = 20.0
 
 class CompGenePred:
     def __init__(self, model, tree_file: str, aln_file: str,
-                 species_files: str, outdir: str = "."):
+                 species_files: str, outdir: str = ".",
+                 dbaccess: str = None):
         self.model = model
         self.tree = PhyloTree.from_file(tree_file)
-        self.rsa = MemSeqAccess(species_files)
+        # reference compgenepred.cc:94-127: --dbaccess=<file>.db selects
+        # the SQLite store, otherwise genomes load into memory
+        if dbaccess:
+            from .sqlite_db import SQLiteAccess
+            self.rsa = SQLiteAccess(dbaccess, species_files)
+        else:
+            self.rsa = MemSeqAccess(species_files)
         self.aln_file = aln_file
         self.outdir = outdir
         self.evo = ExonEvo(
