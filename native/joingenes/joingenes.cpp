@@ -128,6 +128,133 @@ static void finalize(Transcript &t) {
                               t.end = max(t.end, e.end); }
 }
 
+static const int MIN_INTRON = 20;   // reference joingenes.cpp:200
+
+static bool hasFeature(const Transcript &t, const char *name) {
+    for (auto &e : t.other) if (e.feature == name) return true;
+    return false;
+}
+
+// 5' / 3' translation completeness from start/stop codon features
+static bool tlComplete5(const Transcript &t) { return hasFeature(t, "start_codon"); }
+static bool tlComplete3(const Transcript &t) { return hasFeature(t, "stop_codon"); }
+
+// reference isCombinable (jg_transcript.cpp): can the boundary-truncated
+// acceptor t1 be continued by donor t2 on the genomic side `frontSide`?
+// Returns the fitting case 1..4, 0 if not combinable.
+static int isCombinable(const Transcript &t1, const Transcript &t2,
+                        bool frontSide) {
+    if (t1.cds.empty() || t2.cds.empty()) return 0;
+    bool ovl = t1.seqid == t2.seqid && t1.start <= t2.end &&
+               t2.start <= t1.end;
+    if (!ovl) {
+        // non-overlapping: only within 5 kb of each other (reference
+        // boundary-gap condition)
+        long gap = frontSide ? t1.start - t2.end : t2.start - t1.end;
+        if (gap < 0 || gap > 5000) return 0;
+    }
+    if (!frontSide) {
+        const Exon &last = t1.cds.back();
+        for (auto &e : t2.cds) {
+            if (last.end >= e.start && last.end <= e.end) {
+                if (last.frame == -1 && e.frame == -1) return 1;
+                if ((last.frame == -1) != (e.frame == -1)) return 0;
+                if (t1.strand == "+" &&
+                    ((3 - ((last.end - last.start) - last.frame) % 3) % 3)
+                    == ((3 - ((last.end - e.start) - e.frame) % 3) % 3))
+                    return 1;
+                if (t1.strand == "-" && last.frame ==
+                    (3 - ((e.end - last.end) - e.frame) % 3) % 3)
+                    return 1;
+                return 0;
+            }
+            if (last.end <= e.start - MIN_INTRON) {
+                if (last.frame == -1 && e.frame == -1) return 2;
+                if ((last.frame == -1) != (e.frame == -1)) return 0;
+                if (t1.strand == "+" && e.frame ==
+                    (3 - ((last.end - last.start + 1) - last.frame) % 3) % 3)
+                    return 2;
+                if (t1.strand == "-" && last.frame ==
+                    (3 - ((e.end - e.start + 1) - e.frame) % 3) % 3)
+                    return 2;
+                return 0;
+            }
+        }
+    } else {
+        const Exon &first = t1.cds.front();
+        for (auto it = t2.cds.rbegin(); it != t2.cds.rend(); ++it) {
+            const Exon &e = *it;
+            if (first.start >= e.start && first.start <= e.end) {
+                if (first.frame == -1 && e.frame == -1) return 3;
+                if ((first.frame == -1) != (e.frame == -1)) return 0;
+                if (t1.strand == "-" &&
+                    ((3 - ((first.end - first.start) - first.frame) % 3) % 3)
+                    == ((3 - ((e.end - first.start) - e.frame) % 3) % 3))
+                    return 3;
+                if (t1.strand == "+" && first.frame ==
+                    (3 - ((first.start - e.start) - e.frame) % 3) % 3)
+                    return 3;
+                return 0;
+            }
+            if (first.start >= e.end + MIN_INTRON) {
+                if (first.frame == -1 && e.frame == -1) return 4;
+                if ((first.frame == -1) != (e.frame == -1)) return 0;
+                if (t1.strand == "-" && e.frame ==
+                    (3 - ((first.end - first.start + 1) - first.frame) % 3) % 3)
+                    return 4;
+                if (t1.strand == "+" && first.frame ==
+                    (3 - ((e.end - e.start + 1) - e.frame) % 3) % 3)
+                    return 4;
+                return 0;
+            }
+        }
+    }
+    return 0;
+}
+
+// reference joining(): build the joined transcript (cases 1..4).  The
+// acceptor's truncated boundary exon is kept as-is; the donor's exons
+// beyond it are transferred, and the donor's start/stop codon features
+// on the joined side come along.
+static Transcript joinTranscripts(const Transcript &acc,
+                                  const Transcript &don, int fittingCase) {
+    Transcript nt = acc;
+    nt.txid = acc.txid + "_" + don.txid;
+    long lastPos = acc.cds.back().end;
+    long firstPos = acc.cds.front().start;
+    if (fittingCase == 1 || fittingCase == 2) {
+        bool adding = false;
+        for (auto &e : don.cds) {
+            if (fittingCase == 2)
+                adding = adding || lastPos <= e.start - MIN_INTRON;
+            if (adding) nt.cds.push_back(e);
+            if (fittingCase == 1 && lastPos >= e.start && lastPos <= e.end) {
+                if (nt.strand == "-") nt.cds.back().frame = e.frame;
+                adding = true;
+            }
+        }
+        // 3'-side features of the donor (stop codon etc. beyond lastPos)
+        for (auto &e : don.other)
+            if (e.start > lastPos) nt.other.push_back(e);
+    } else {
+        vector<Exon> pre;
+        for (auto &e : don.cds) {
+            if (fittingCase == 3 &&
+                firstPos >= e.start && firstPos <= e.end) {
+                if (nt.strand == "+") nt.cds.front().frame = e.frame;
+                break;
+            }
+            if (fittingCase == 4 && e.end > firstPos - MIN_INTRON) break;
+            pre.push_back(e);
+        }
+        nt.cds.insert(nt.cds.begin(), pre.begin(), pre.end());
+        for (auto &e : don.other)
+            if (e.end < firstPos) nt.other.push_back(e);
+    }
+    finalize(nt);
+    return nt;
+}
+
 // is a's CDS chain a contiguous sub-chain of b's (same internal
 // boundaries)?  reference search_n_destroy_parts
 static bool isSubChain(const Transcript &a, const Transcript &b) {
@@ -157,6 +284,7 @@ int main(int argc, char **argv) {
     vector<int> priorities;
     string outPath = "/dev/stdout";
     bool alternatives = false;
+    bool join = true;                  // --nojoin disables (reference -j)
     for (int i = 1; i < argc; i++) {
         string a = argv[i];
         auto val = [&](const char *) -> string {
@@ -173,6 +301,8 @@ int main(int argc, char **argv) {
             outPath = val("o");
         else if (a.rfind("--alternatives", 0) == 0 || a == "-a")
             alternatives = true;
+        else if (a.rfind("--nojoin", 0) == 0 || a == "-j")
+            join = false;
         else if (a == "-h" || a == "--help") {
             cout << "usage: joingenes -g set1.gtf,set2.gtf [-p 2,1] "
                     "[-o out.gtf] [--alternatives]\n";
@@ -187,10 +317,47 @@ int main(int argc, char **argv) {
         readGtf(files[i], priorities[i], txmap, (int)i);
     vector<Transcript> txs;
     for (auto &kv : txmap) { finalize(kv.second); txs.push_back(kv.second); }
-    sort(txs.begin(), txs.end(), [](const Transcript &a, const Transcript &b) {
+    auto bySeqStart = [](const Transcript &a, const Transcript &b) {
         if (a.seqid != b.seqid) return a.seqid < b.seqid;
         return a.start < b.start;
-    });
+    };
+    sort(txs.begin(), txs.end(), bySeqStart);
+
+    // ---- joining of boundary-split transcripts -------------------------
+    // reference joinCall (jg_transcript.cpp:77): transcripts missing a
+    // stop (side '3') or start ('5') codon are continued by a completing
+    // donor on the same strand when the truncated boundary CDS is frame-
+    // compatible with a donor CDS (isCombinable cases 1-4); the joined
+    // copy is added, the truncated parts later fall to the sub-chain /
+    // duplicate removal.  '3' runs before '5' so a both-sides-truncated
+    // middle piece can be completed in two steps.
+    if (join) {
+        for (char side : {'3', '5'}) {
+            vector<Transcript> added;
+            for (auto &acc : txs) {
+                if (acc.cds.empty()) continue;
+                bool complete = (side == '3') ? tlComplete3(acc)
+                                              : tlComplete5(acc);
+                if (complete) continue;
+                for (auto &don : txs) {
+                    if (&don == &acc || don.cds.empty()) continue;
+                    if (don.seqid != acc.seqid || don.strand != acc.strand)
+                        continue;
+                    bool donOk = (side == '3') ? tlComplete3(don)
+                                               : tlComplete5(don);
+                    if (!donOk) continue;
+                    bool frontSide =
+                        (acc.strand == "+" && side == '5') ||
+                        (acc.strand == "-" && side == '3');
+                    int fc = isCombinable(acc, don, frontSide);
+                    if (fc)
+                        added.push_back(joinTranscripts(acc, don, fc));
+                }
+            }
+            for (auto &t : added) txs.push_back(t);
+            sort(txs.begin(), txs.end(), bySeqStart);
+        }
+    }
 
     // ---- overlap components (per seqid, interval overlap) --------------
     vector<vector<int>> overlaps;
