@@ -1,0 +1,123 @@
+"""Multi-host (multi-process) data-parallel decoding.
+
+The reference scales past one machine with cluster job lists
+(scripts/createAugustusJoblist.pl) and a GFF merge
+(scripts/join_aug_pred.pl); SURVEY §2.14 maps this to `jax.distributed`
++ pjit sharding over contigs/pieces with the species parameters
+replicated over DCN.  This module provides exactly that:
+
+  * `init(coordinator, num_processes, process_id)` joins the JAX
+    distributed runtime (works on CPU backends too — the test fixture
+    spawns two local processes with 4 virtual CPU devices each, SURVEY
+    §4 "multi-node without a cluster");
+  * parameters/tracks are replicated by construction: every process
+    loads the same species files and builds the same host arrays (the
+    reference's cluster jobs likewise each read the config tree);
+  * `decode_pieces_global(model, piece_inputs)` runs the same batched
+    scan DP as parallel.mesh.decode_pieces but over the GLOBAL device
+    mesh: per-piece arrays become globally-sharded jax.Arrays
+    (`jax.make_array_from_callback` — each process materializes only its
+    addressable shards), the shard_map fn runs one program across all
+    processes, and the per-piece results are allgathered back to every
+    host so each can traceback/print locally (join_aug_pred semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import make_batched_fn, stack_arrays
+
+
+def init(coordinator: str, num_processes: int, process_id: int) -> None:
+    """Join the distributed runtime (reference: one cluster job per
+    chunk; here one JAX process per host)."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def _to_global(mesh: Mesh, host_arr: np.ndarray):
+    """Host (N, ...) array -> globally sharded jax.Array on axis 0.
+
+    Every process holds the identical host array (replicated prep), so
+    each just donates the rows its devices own."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.make_array_from_callback(
+        host_arr.shape, sharding, lambda idx: host_arr[idx])
+
+
+def decode_pieces_global(model, piece_inputs: List[dict],
+                         engine: str = "auto"):
+    """Multi-host variant of parallel.mesh.decode_pieces.
+
+    All processes must call this collectively with identical inputs.
+    Returns [(segments, gold_engine), ...] on every process."""
+    from ..engine.gold import GoldEngine
+    from ..engine.device import build_tracks, bucket_length, pad_tracks, \
+        UnsupportedByDevice
+    from ..engine.scan import split_tracks, ScanEngine
+    from jax.experimental import multihost_utils
+
+    results = [None] * len(piece_inputs)
+    golds = [None] * len(piece_inputs)
+    groups: Dict[object, List[int]] = {}
+    packed = [None] * len(piece_inputs)
+    for i, pi in enumerate(piece_inputs):
+        gold = GoldEngine(model.sg, model.cn, model.igp, model.exp,
+                          model.inp, model.decomp, model.gcode,
+                          utr=model.utr, utr_cfg=model.utr_cfg,
+                          ext_cfg=model.ext_cfg)
+        gold.set_boundaries(pi["init_synch"], pi["term_synch"])
+        gold.prepare(pi["codes"], softmask=pi["softmask"],
+                     gff_hints=pi["gff_hints"])
+        golds[i] = gold
+        try:
+            tracks = build_tracks(gold)
+        except UnsupportedByDevice:
+            gold.run(pi["codes"], softmask=pi["softmask"],
+                     gff_hints=pi["gff_hints"])
+            results[i] = gold.traceback()
+            continue
+        n_true = tracks.n
+        pad_tracks(tracks, bucket_length(tracks.n))
+        static, arrays = split_tracks(tracks)
+        arrays["n_true"] = np.int32(n_true)
+        packed[i] = (tracks, static, arrays, n_true)
+        groups.setdefault(static, []).append(i)
+
+    n_dev = jax.device_count()          # GLOBAL device count
+    for static, idxs in groups.items():
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        batch = idxs[:]
+        while len(batch) % n_dev:
+            batch.append(idxs[-1])
+        arrs = stack_arrays([packed[i][2] for i in batch])
+        v0 = np.stack([np.asarray(packed[i][0].log_init)
+                       for i in batch])
+        arrs_g = jax.tree_util.tree_map(
+            lambda a: _to_global(mesh, np.asarray(a)), arrs)
+        v0_g = _to_global(mesh, v0)
+        fn = make_batched_fn(static, mesh)
+        vfin, bps, _, _ = fn(arrs_g, v0_g)
+        # gather the global results onto every host (the reference's
+        # join step concatenates per-chunk GFFs on one node; allgather
+        # lets every process print its own copy deterministically)
+        vfin = multihost_utils.process_allgather(vfin, tiled=True)
+        bps = multihost_utils.process_allgather(bps, tiled=True)
+        for k, i in enumerate(idxs):
+            se = ScanEngine.__new__(ScanEngine)
+            tracks = packed[i][0]
+            se.tracks = tracks
+            se.n_true = packed[i][3]
+            se.n, se.S = packed[i][3], tracks.S
+            se.v_final = np.asarray(vfin[k])
+            se._bps_dev = np.asarray(bps[k])
+            results[i] = se.traceback()
+    return list(zip(results, golds))

@@ -152,12 +152,90 @@ def wig_to_hints(lines: Iterable[str], width: int = 10, threshold:
     return out
 
 
+def exonerate_to_hints(lines: Iterable[str], minintronlen: int = 41,
+                       maxintronlen: int = 350000,
+                       cdspart_cutoff: int = 15, source: str = "XNT",
+                       priority: int = 4) -> List[str]:
+    """Exonerate protein2genome GFF dump -> intron/CDSpart hints
+    (reference scripts/exonerate2hints.pl): `cds` features are trimmed by
+    cdspart_cutoff at both ends (collapsing to the midpoint if they
+    cross), `intron` features are kept within the length bounds, and the
+    protein id from the `gene` line's `sequence <id> ;` attribute groups
+    the hints."""
+    import re
+    out: List[str] = []
+    prot = ""
+    for raw in lines:
+        line = raw.split("#")[0]
+        if not line.strip():
+            continue
+        if "\texonerate:protein2genome:local\t" not in line:
+            continue
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 8:
+            continue
+        seqname, typ = f[0], f[2]
+        start, end = int(f[3]), int(f[4])
+        score, strand = f[5], f[6]
+        if end < start:
+            start, end = end, start
+        if typ == "intron":
+            if minintronlen <= end - start + 1 <= maxintronlen:
+                out.append(f"{seqname}\txnt2h\tintron\t{start}\t{end}\t"
+                           f"{score}\t{strand}\t.\t"
+                           f"src={source};grp={prot};pri={priority}")
+        elif typ == "cds":
+            start += cdspart_cutoff
+            end -= cdspart_cutoff
+            if start > end:
+                start = end = (start + end) // 2
+            out.append(f"{seqname}\txnt2h\tCDSpart\t{start}\t{end}\t"
+                       f"{score}\t{strand}\t.\t"
+                       f"src={source};grp={prot};pri={priority}")
+        elif typ == "gene":
+            m = re.search(r"sequence (\S+) ; ", line)
+            if m:
+                prot = m.group(1)
+    return out
+
+
+def polya_to_hints(lines: Iterable[str], hintradius: int = 10,
+                   fmt: str = "old", swapstrand: bool = False,
+                   source: str = "E", priority: int = 4) -> List[str]:
+    """polyA/polyT site table -> tts hints (scripts/polyA2hints.pl):
+    each 3' end becomes a tts hint of +-hintradius around the site;
+    --swapstrand for polyT tables."""
+    out: List[str] = []
+    for raw in lines:
+        if "Chromosome" in raw and "SeqName" in raw:
+            continue
+        f = raw.rstrip("\n").split("\t")
+        if (fmt == "old" and len(f) < 26) or \
+                (fmt == "new" and len(f) < 12) or \
+                (fmt == "newer" and len(f) < 13):
+            continue
+        if fmt == "new":
+            target, tts, strand = f[1], int(f[9]), f[2]
+        elif fmt == "newer":
+            target, tts, strand = f[2], int(f[10]), f[3]
+        else:
+            target, tts, strand = f[3], int(f[18]), f[2]
+        qname = f[0]
+        if swapstrand:
+            strand = "-" if strand == "+" else "+"
+        out.append(f"{target}\tpolyA\ttts\t{tts - hintradius}\t"
+                   f"{tts + hintradius}\t.\t{strand}\t.\t"
+                   f"pri={priority};src={source};est={qname}")
+    return out
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         sys.stderr.write(
             "usage: python -m augustus_tpu.pipeline.hints_gen "
-            "{psl2hints|joinmult|wig2hints} < in > out.gff\n")
+            "{psl2hints|joinmult|wig2hints|exonerate2hints|polyA2hints}"
+            " < in > out.gff\n")
         return 1
     lines = sys.stdin
     if argv[0] == "psl2hints":
@@ -166,6 +244,11 @@ def main(argv=None) -> int:
         print("\n".join(join_mult_hints(lines)))
     elif argv[0] == "wig2hints":
         print("\n".join(wig_to_hints(lines)))
+    elif argv[0] == "exonerate2hints":
+        print("\n".join(exonerate_to_hints(lines)))
+    elif argv[0] == "polyA2hints":
+        swap = "--swapstrand" in argv
+        print("\n".join(polya_to_hints(lines, swapstrand=swap)))
     else:
         return 1
     return 0

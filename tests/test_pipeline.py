@@ -123,3 +123,66 @@ def test_metapars_parsing():
     assert "/Constant/dss_end" in names
     d = dict(pars)
     assert "1" in d["/Constant/dss_end"] and "4" in d["/Constant/dss_end"]
+
+
+def test_exonerate2hints():
+    """scripts/exonerate2hints.pl semantics: cds -> CDSpart trimmed by
+    the cutoff, intron within bounds, grp from the gene line."""
+    from augustus_tpu.pipeline.hints_gen import exonerate_to_hints
+    lines = [
+        "chr1\texonerate:protein2genome:local\tgene\t100\t900\t800\t+\t."
+        "\tgene_id 1 ; sequence protX ; gene_orientation +\n",
+        "chr1\texonerate:protein2genome:local\tcds\t100\t400\t.\t+\t.\t\n",
+        "chr1\texonerate:protein2genome:local\tintron\t401\t700\t.\t+\t.\t\n",
+        "chr1\texonerate:protein2genome:local\tintron\t701\t720\t.\t+\t.\t\n",
+        "chr1\texonerate:protein2genome:local\tcds\t880\t890\t.\t+\t.\t\n",
+    ]
+    out = exonerate_to_hints(lines)
+    assert out[0] == ("chr1\txnt2h\tCDSpart\t115\t385\t.\t+\t.\t"
+                      "src=XNT;grp=protX;pri=4")
+    # the 300bp intron passes, the 20bp one is dropped
+    assert sum("\tintron\t" in l for l in out) == 1
+    # short cds collapses to the midpoint
+    assert "\tCDSpart\t885\t885\t" in out[-1]
+
+
+def test_polya2hints():
+    from augustus_tpu.pipeline.hints_gen import polya_to_hints
+    row = ["est1", "chr2", "+"] + ["x"] * 6 + ["1234"] + ["x", "x"]
+    out = polya_to_hints(["\t".join(row)], fmt="new")
+    assert out == ["chr2\tpolyA\ttts\t1224\t1244\t.\t+\t.\t"
+                   "pri=4;src=E;est=est1"]
+    out = polya_to_hints(["\t".join(row)], fmt="new", swapstrand=True)
+    assert "\t-\t" in out[0]
+
+
+@pytest.mark.slow
+def test_optimize_augustus_real_run(tmp_path):
+    """Run the metaparameter optimizer for real once (reference
+    optimize_augustus.pl: train -> predict -> evaluate loop), on a tiny
+    2-fold, 1-round, single-metaparameter setup."""
+    import shutil
+    from conftest import REFERENCE_CONFIG
+    from augustus_tpu.pipeline.optimize import optimize
+    from augustus_tpu.training.new_species import create_species
+
+    cfg = tmp_path / "cfg"
+    (cfg / "species").mkdir(parents=True)
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "species", "generic"),
+                    cfg / "species" / "generic")
+    shutil.copytree(os.path.join(REFERENCE_CONFIG, "model"), cfg / "model")
+    create_species("opt_species", str(cfg), silent=True)
+
+    # a small training set: first 6 single-gene records of chr2L
+    src = "/root/reference/examples/chr2L/genes.gb.train"
+    recs = open(src).read().split("//\n")
+    small = tmp_path / "small.gb"
+    small.write_text("//\n".join(recs[:6]) + "//\n")
+
+    metapars = tmp_path / "metapars.cfg"
+    metapars.write_text('/IGenicModel/k  "3"-"4"\n')
+
+    chosen = optimize("opt_species", str(cfg), str(small),
+                      metapars_path=str(metapars), kfold=2, rounds=1,
+                      workdir=str(tmp_path / "opt"), engine="auto")
+    assert chosen.get("/IGenicModel/k") in ("3", "4")
