@@ -88,3 +88,45 @@ def test_cgp_structural_agreement_with_reference(cgp_outputs):
         hit = len(want & got)
         assert hit >= min(6, len(want) - 1), \
             f"{spec}: only {hit}/{len(want)} reference exons recovered"
+
+
+def test_filter_maf():
+    """scripts/filterMaf.pl: species subset, min-seq and interval
+    filtering on the examples/cgp alignment."""
+    from augustus_tpu.cgp.helpers import filter_maf
+    lines = open(f"{CGP_DIR}/aln.maf").read().splitlines()
+    full = filter_maf(lines)
+    assert sum(1 for l in full if l.startswith("a ")) == \
+        sum(1 for l in lines if l.startswith("a "))
+    two = filter_maf(lines, species=["hg19", "mm9"])
+    for l in two:
+        if l.split() and l.split()[0] == "s":
+            assert l.split()[1].split(".")[0] in ("hg19", "mm9")
+    # restrictive min-seq drops blocks missing species
+    some = filter_maf(lines, species=["hg19", "mm9"], min_seq=2)
+    assert 0 < sum(1 for l in some if l.startswith("a ")) <= \
+        sum(1 for l in full if l.startswith("a "))
+    # interval filter keeps only intersecting blocks
+    iv = filter_maf(lines, interval=("hg19.chr21", 460, 480))
+    starts = [int(l.split()[2]) + 1 for l in iv if l.split() and l.split()[0] == "s"
+              and l.split()[1] == "hg19.chr21"]
+    assert starts and all(s <= 480 for s in starts)
+
+
+def test_eval_cgp(tmp_path):
+    """scripts/evalCGP.pl: perfect prediction scores 1.0 across levels."""
+    from augustus_tpu.cgp.helpers import eval_cgp
+    gtf = (
+        'chr1\ta\tCDS\t101\t200\t.\t+\t0\ttranscript_id "t1";\n'
+        'chr1\ta\tCDS\t301\t400\t.\t+\t1\ttranscript_id "t1";\n')
+    anno = tmp_path / "anno.gtf"
+    pred = tmp_path / "pred.gtf"
+    anno.write_text(gtf)
+    pred.write_text(gtf.replace("t1", "p1"))
+    res = eval_cgp(str(anno), str(pred))
+    assert res["exon_sens"] == 1.0 and res["exon_spec"] == 1.0
+    assert res["nuc_sens"] == 1.0 and res["nuc_spec"] == 1.0
+    # half-missing prediction: sensitivity drops, specificity stays
+    pred.write_text(gtf.replace("t1", "p1").splitlines()[0] + "\n")
+    res = eval_cgp(str(anno), str(pred))
+    assert res["exon_sens"] < 1.0
