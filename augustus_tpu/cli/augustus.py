@@ -74,8 +74,33 @@ def main(argv=None) -> int:
         # reference: softmasking default is off for .gb files
         # (augustus.cc:218-219)
         args["softmasking"] = "0"
+    # informational verbosity levels 0-3 (reference /augustus/verbosity,
+    # src/augustus.cc:150-220: level 1 reports extrinsic input, level 2
+    # parameter initialization, level 3 input-format detection)
+    try:
+        verbosity = int(args.get("/augustus/verbosity",
+                                 args.get("verbosity", "1")))
+    except ValueError:
+        verbosity = 1
     model = Model.load(args)
     sys.stdout.write(HEADER.format(version=__version__))
+    if verbosity and "hintsfile" not in args:
+        sys.stdout.write("# No extrinsic information on sequences "
+                         "given.\n")
+    elif verbosity and "hintsfile" in args:
+        sys.stdout.write(f"# reading in the file "
+                         f"{args['hintsfile']} ...\n")
+        nseq = len(model.gff_hints) if model.gff_hints else 0
+        sys.stdout.write(f"# Have extrinsic information about {nseq} "
+                         "sequences (in the specified range). \n")
+    if verbosity > 1:
+        cfgdir = args.get("AUGUSTUS_CONFIG_PATH",
+                          model.props.get("AUGUSTUS_CONFIG_PATH", ""))
+        sys.stdout.write("# Initializing the parameters using config "
+                         f"directory {cfgdir} ...\n")
+    if verbosity > 2:
+        sys.stdout.write(f"# Looks like {queryfile} is in {fmt} "
+                         "format.\n")
     if fmt == "genbank":
         from ..predict import evaluate_genbank
         sys.stdout.write(evaluate_genbank(model, queryfile))

@@ -70,3 +70,22 @@ def test_outfile_errfile(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert outf.exists() and "AUGUSTUS" in outf.read_text()
     assert errf.exists()
+
+
+def test_verbosity_levels(capsys, tmp_path):
+    """/augustus/verbosity 0-3 gate the informational preamble
+    (reference src/augustus.cc:150-220)."""
+    from augustus_tpu.cli.augustus import main
+    fa = tmp_path / "t.fa"
+    fa.write_text(">t\n" + "acgt" * 300 + "\n")
+    base = ["--species=human",
+            f"--AUGUSTUS_CONFIG_PATH={REFERENCE_CONFIG}",
+            "--softmasking=0", "--UTR=off", str(fa)]
+    assert main(["--/augustus/verbosity=0"] + base) == 0
+    out0 = capsys.readouterr().out
+    assert "# No extrinsic information" not in out0
+    assert main(["--/augustus/verbosity=3"] + base) == 0
+    out3 = capsys.readouterr().out
+    assert "# No extrinsic information on sequences given." in out3
+    assert "# Initializing the parameters using config directory" in out3
+    assert "is in fasta format." in out3
