@@ -73,12 +73,75 @@ def get_anno_fasta(lines, kind: str = "protein") -> List[str]:
     return out
 
 
+def gb_to_gff(path: str) -> List[str]:
+    """GenBank annotation -> GFF lines (reference scripts/gb2gff)."""
+    from ..io.genbank import read_genbank
+    out: List[str] = []
+    for a in read_genbank(path, with_utr=True):
+        for gi, g in enumerate(a.genes, start=1):
+            gid = g.geneid or f"g{gi}"
+            out.append(f"{a.seqname}\tgb2gff\tgene\t"
+                       f"{min(b for b, _ in g.exons) + 1}\t"
+                       f"{max(e for _, e in g.exons) + 1}\t.\t"
+                       f"{g.strand}\t.\t{gid}")
+            for (b, e) in g.exons:
+                out.append(f"{a.seqname}\tgb2gff\tCDS\t{b + 1}\t{e + 1}"
+                           f"\t.\t{g.strand}\t.\t"
+                           f"transcript_id \"{gid}.t1\"; "
+                           f"gene_id \"{gid}\";")
+    return out
+
+
+def summarize_acgt(path: str) -> List[str]:
+    """scripts/summarizeACGTcontent.pl: per-sequence base counts plus a
+    summary with GC fraction."""
+    from ..io.fasta import read_fasta
+    out: List[str] = []
+    tot = {k: 0 for k in "ACGTN"}
+    tot["rest"] = 0
+    for rec in read_fasta(path):
+        seq = rec.sequence.upper()
+        cnt = {k: seq.count(k) for k in "ACGTN"}
+        rest = len(seq) - sum(cnt.values())
+        for k in cnt:
+            tot[k] += cnt[k]
+        tot["rest"] += rest
+        line = (f"{len(seq)} bases.\t{rec.name.split()[0]} BASE COUNT"
+                f"     {cnt['A']} a   {cnt['C']} c  {cnt['G']} g   "
+                f"{cnt['T']} t")
+        if cnt["N"] > 0:
+            line += f"   {cnt['N']} n"
+        if rest > 0:
+            line += f"   {rest} ?"
+        out.append(line)
+    s = tot["A"] + tot["C"] + tot["G"] + tot["T"]
+    length = s + tot["N"] + tot["rest"]
+    gc = (tot["C"] + tot["G"]) / s if s else 0.0
+    line = (f"summary: BASE COUNT     {tot['A']} a   {tot['C']} c  "
+            f"{tot['G']} g   {tot['T']} t")
+    if tot["N"] > 0:
+        line += f"   {tot['N']} n"
+    if tot["rest"] > 0:
+        line += f"   {tot['rest']} ?"
+    out.append(line)
+    out.append(f"total {length}bp")
+    out.append(f"gc: {gc}%")
+    return out
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         sys.stderr.write("usage: python -m augustus_tpu.pipeline.convert "
-                         "{gtf2gff3|getprot} < in > out\n")
+                         "{gtf2gff3|getprot} < in > out | "
+                         "{gb2gff|summarizeACGT} <file>\n")
         return 1
+    if argv[0] == "gb2gff" and len(argv) > 1:
+        print("\n".join(gb_to_gff(argv[1])))
+        return 0
+    if argv[0] == "summarizeACGT" and len(argv) > 1:
+        print("\n".join(summarize_acgt(argv[1])))
+        return 0
     if argv[0] == "gtf2gff3":
         print("\n".join(gtf_to_gff3(sys.stdin)))
         return 0

@@ -186,3 +186,15 @@ def test_optimize_augustus_real_run(tmp_path):
                       metapars_path=str(metapars), kfold=2, rounds=1,
                       workdir=str(tmp_path / "opt"), engine="auto")
     assert chosen.get("/IGenicModel/k") in ("3", "4")
+
+
+def test_gb2gff_and_summarize():
+    from augustus_tpu.pipeline.convert import gb_to_gff, summarize_acgt
+    lines = gb_to_gff("/root/reference/examples/hsackI10.gb")
+    assert any("\tgene\t" in l for l in lines)
+    cds = [l for l in lines if "\tCDS\t" in l]
+    assert cds and all('transcript_id "' in l for l in cds)
+    out = summarize_acgt("/root/reference/examples/example.fa")
+    assert out[-2] == "total 11797bp"
+    assert out[-3].startswith("summary: BASE COUNT")
+    assert out[-1].startswith("gc: 0.418")
