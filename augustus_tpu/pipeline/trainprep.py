@@ -139,3 +139,30 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+def filter_genes(namefile: str, dbfile: str) -> str:
+    """scripts/filterGenes.pl: drop GenBank records whose LOCUS name
+    appears in namefile; returns the filtered flat-file text."""
+    import re
+    bad = set()
+    with open(namefile) as fh:
+        for line in fh:
+            bad.add(line.rstrip("\n"))
+    out = []
+    with open(dbfile) as fh:
+        record: list = []
+        for line in fh:
+            record.append(line)
+            if line.rstrip() == "//":
+                text = "".join(record)
+                m = re.match(r"LOCUS +(\S+)", text)
+                name = m.group(1) if m else ""
+                if name not in bad:
+                    out.append(text)
+                record = []
+        if record:
+            text = "".join(record)
+            m = re.match(r"LOCUS +(\S+)", text)
+            if not m or m.group(1) not in bad:
+                out.append(text)
+    return "".join(out)

@@ -198,3 +198,17 @@ def test_gb2gff_and_summarize():
     assert out[-2] == "total 11797bp"
     assert out[-3].startswith("summary: BASE COUNT")
     assert out[-1].startswith("gc: 0.418")
+
+
+def test_filter_genes(tmp_path):
+    """scripts/filterGenes.pl: records named in the list are dropped."""
+    from augustus_tpu.pipeline.trainprep import filter_genes
+    gb = ("LOCUS AAA 10 bp\nORIGIN\n  1 acgtacgtac\n//\n"
+          "LOCUS BBB 10 bp\nORIGIN\n  1 acgtacgtac\n//\n")
+    db = tmp_path / "db.gb"
+    db.write_text(gb)
+    names = tmp_path / "bad.lst"
+    names.write_text("AAA\n")
+    out = filter_genes(str(names), str(db))
+    assert "LOCUS BBB" in out and "LOCUS AAA" not in out
+    assert out.count("//") == 1
