@@ -94,3 +94,63 @@ def test_simscore_examples():
              os.path.join(SIMDIR, "EOG09150290.prfl"))
     ss2.fill()
     assert f"{ss2.score():.6g}" == "925.206"
+
+
+def test_msa2prfl_roundtrip():
+    """msa2prfl builds a profile that PP::Profile-parses, with correct
+    block widths and interblock distances; fastBlockSearch then finds a
+    sequence planted from the profile consensus."""
+    from augustus_tpu.ppx.msa2prfl import msa_to_prfl
+    rng = np.random.RandomState(7)
+    cores = ["MKTLLVAGGHS", "WWDDEEPPKKRRAA", "FYHGGMMCCSTV"]
+
+    def mutate(s, k):
+        s = list(s)
+        for i in rng.choice(len(s), k, replace=False):
+            s[i] = AA_SYMBOLS[rng.randint(20)]
+        return "".join(s)
+
+    rows = []
+    for _ in range(6):
+        l1 = list("----------")
+        for j in rng.choice(10, 4, replace=False):
+            l1[j] = "A"
+        l2 = list("--------")
+        for j in rng.choice(8, 3, replace=False):
+            l2[j] = "S"
+        rows.append(mutate(cores[0], 1) + "".join(l1) +
+                    mutate(cores[1], 2) + "".join(l2) +
+                    mutate(cores[2], 1))
+    text = msa_to_prfl(rows, name="toy")
+    import tempfile
+    tf = tempfile.NamedTemporaryFile("w", suffix=".prfl", delete=False)
+    tf.write(text)
+    tf.close()
+    prfl = Profile(tf.name)
+    assert [(b.id, b.size) for b in prfl.blocks] == \
+        [("toy_A", 11), ("toy_B", 14), ("toy_C", 12)]
+    assert [(b.distance.min, b.distance.max) for b in prfl.blocks] == \
+        [(0, 0), (4, 4), (3, 3)]
+
+    # plant the consensus DNA and search for it
+    gc = genetics.GeneticCode(1)
+    aa2codon = {}
+    for cid in range(64):
+        aa = str(gc.aa_of_codon[cid])
+        aa2codon.setdefault(aa, "".join(
+            "acgt"[(cid >> (2 * (2 - i))) & 3] for i in range(3)))
+
+    def rand_dna(n):
+        return "".join("acgt"[i] for i in rng.randint(0, 4, n))
+
+    dna = rand_dna(300)
+    for core in cores:
+        dna += "".join(aa2codon[a] for a in core) + rand_dna(18)
+    dna += rand_dna(300)
+    groups = search(dna, prfl, cutoff=0.2)
+    assert groups, "no hit group found"
+    ids = {h["block_id"] for g in groups for h in g["hits"]}
+    assert {"toy_A", "toy_B", "toy_C"} <= ids
+    # the best chain contains at least two of the blocks in order
+    best = [h["block_id"] for h in groups[-1]["hits"]]
+    assert len(best) >= 2 and best == sorted(best)
