@@ -154,3 +154,22 @@ def test_msa2prfl_roundtrip():
     # the best chain contains at least two of the blocks in order
     best = [h["block_id"] for h in groups[-1]["hits"]]
     assert len(best) >= 2 and best == sorted(best)
+
+
+def test_prepare_align_drops_block_breaking_sequence():
+    """prepareAlign objective: deleting a gap-riddled sequence that
+    destroys block columns must increase net block area; conserved
+    sequences stay."""
+    from augustus_tpu.ppx.prepare_align import prepare_align
+    good = "MKTLLVAGGHSWWDDEE"
+    # 3 clean + 1 gap-riddled: the bad sequence pulls block columns
+    # below FULL_COL_WEIGHT=0.8 (3/4 = 0.75), killing all blocks
+    rows = [good] * 3 + ["M-T--V-G--SW--D-E"]
+    names = [f"s{i}" for i in range(4)]
+    kept_names, kept_rows = prepare_align(names, rows)
+    assert "s3" not in kept_names
+    assert len(kept_rows) == 3 and all(r == good for r in kept_rows)
+
+    # an already-clean alignment is untouched
+    kept_names2, kept_rows2 = prepare_align(names[:3], [good] * 3)
+    assert kept_names2 == names[:3]
