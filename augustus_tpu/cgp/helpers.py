@@ -19,50 +19,57 @@ def filter_maf(lines, species: Optional[List[str]] = None,
                min_seq: int = 2,
                interval: Optional[Tuple[str, int, int]] = None
                ) -> List[str]:
-    """scripts/filterMaf.pl: keep blocks intersecting `interval`
-    (seqid 1-based start-end of the FIRST field of an 's' line), with at
-    least `min_seq` kept sequences, restricted to `species`."""
+    """scripts/filterMaf.pl, streaming semantics preserved exactly:
+    ##maf lines pass through; a block is kept when it retains at least
+    `min_seq` s-lines after the species filter (substring/regex match on
+    the full src field) and, with `interval`, when ANY of its s-lines
+    overlaps (minus-strand coordinates flipped to forward); a kept block
+    is printed with a trailing blank line when the NEXT block arrives,
+    so the output ends blank-terminated only when the final input block
+    was dropped."""
+    import re
     out: List[str] = []
     block: List[str] = []
+    overlap = False
 
-    def flush():
-        if not block:
-            return
-        s_lines = [l for l in block if l.split() and l.split()[0] == "s"]
-        kept = []
-        for l in s_lines:
-            f = l.split()
-            src = f[1]
-            spec = src.split(".")[0]
-            if species and spec not in species:
-                continue
-            kept.append(l)
-        if len(kept) < min_seq:
-            return
-        if interval is not None:
-            seqid, lo, hi = interval
-            f = kept[0].split()
-            start = int(f[2]) + 1            # MAF is 0-based
-            end = start + int(f[3]) - 1
-            if f[1] != seqid or end < lo or start > hi:
-                return
-        out.append(block[0])
-        out.extend(kept)
-        out.append("")
+    def flush(final: bool) -> None:
+        nonlocal block, overlap
+        if len(block) >= min_seq + 1 and overlap:
+            out.extend(l.rstrip("\n") for l in block)
+            if not final:
+                out.append("")
+        block = []
+        overlap = False
 
     for raw in lines:
-        line = raw.rstrip("\n")
-        if line.startswith("a"):
-            flush()
-            block = [line]
-        elif line.split() and line.split()[0] == "s" and block:
+        line = raw if raw.endswith("\n") else raw + "\n"
+        if "##maf" in line:
+            out.append(line.rstrip("\n"))
+        elif re.match(r"^a\s", line):
+            flush(final=False)
             block.append(line)
-        elif not line.strip():
-            flush()
-            block = []
-        elif line.startswith("#") and not block:
-            out.append(line)
-    flush()
+        elif re.match(r"^s\s", line):
+            f = re.split(r"\s+", line)
+            seqid, start0, alen, strand, slen = \
+                f[1], int(f[2]), int(f[3]), f[4], int(f[5])
+            if strand == "-":
+                start0 = slen - start0 - alen
+            end_ = start0 + alen
+            start1 = start0 + 1
+            if species is None:
+                block.append(line)
+            else:
+                for sp in species:
+                    if re.search(sp, seqid):
+                        block.append(line)
+                        break
+            if interval is None:
+                overlap = True
+            else:
+                s_id, b_, e_ = interval
+                if not (end_ < b_ or start1 > e_) and s_id == seqid:
+                    overlap = True
+    flush(final=True)
     return out
 
 

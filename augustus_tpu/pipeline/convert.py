@@ -125,7 +125,7 @@ def summarize_acgt(path: str) -> List[str]:
         line += f"   {tot['rest']} ?"
     out.append(line)
     out.append(f"total {length}bp")
-    out.append(f"gc: {gc}%")
+    out.append(f"gc: {gc:.15g}%")     # perl default stringification
     return out
 
 

@@ -64,34 +64,56 @@ def psl_to_hints(lines: Iterable[str], src: str = "E",
 
 def join_mult_hints(lines: Iterable[str]) -> List[str]:
     """Merge identical hints, accumulating mult= (reference
-    scripts/join_mult_hints.pl)."""
-    counts: Dict[tuple, int] = defaultdict(int)
-    meta: Dict[tuple, str] = {}
+    scripts/join_mult_hints.pl, streaming over sorted input).
+
+    Groups run while (seq, type, start, end, strand, frame) equal the
+    previous line, sub-bucketed by the src= attribute letter; a bucket
+    with one hint passes through VERBATIM (the reference keeps its grp=
+    and mult= untouched), multi-hint buckets get score column 6 set to
+    the summed multiplicity and "mult=N;" prepended with the first
+    hint's grp=/mult= stripped.  (The reference iterates buckets in perl
+    hash order, nondeterministic when one position has several sources;
+    here insertion order is used.)"""
+    import re as _re
+    out: List[str] = []
+    last: Optional[List[str]] = None
+    buckets: Dict[str, List[List[str]]] = {}
+
+    def flush() -> None:
+        for src, hs in buckets.items():
+            if len(hs) == 1:
+                out.append("\t".join(hs[0]).rstrip("\n"))
+                continue
+            mult = 0
+            for h in hs:
+                m = _re.search(r"mult=(\d+)", h[8])
+                mult += int(m.group(1)) if m else 1
+            h = list(hs[0])
+            h[8] = _re.sub(r"gro?u?p=[^;]*;", "", h[8], count=1)
+            h[8] = _re.sub(r"mult=\d+;", "", h[8], count=1)
+            h[5] = str(mult)
+            h[8] = f"mult={mult};" + h[8]
+            out.append("\t".join(h).rstrip("\n"))
+        buckets.clear()
+
     for line in lines:
-        if not line.strip() or line.startswith("#"):
+        if not line.strip():
             continue
-        f = line.rstrip("\n").split("\t")
+        f = line.split("\t")
         if len(f) < 9:
             continue
-        mult = 1
-        rest = []
-        for tok in f[8].split(";"):
-            if tok.startswith("mult="):
-                mult = int(tok[5:])
-            elif tok.startswith("grp="):
-                continue          # grouping is dropped when multiplying
-            else:
-                rest.append(tok)
-        key = (f[0], f[2], f[3], f[4], f[6])
-        counts[key] += mult
-        meta[key] = (f[1], f[5], f[7], ";".join(rest))
-    out = []
-    for key in sorted(counts, key=lambda k: (k[0], int(k[2]), int(k[3]))):
-        seq, typ, s, e, strand = key
-        src2, score, frame, rest = meta[key]
-        attrs = f"mult={counts[key]};" + rest if counts[key] > 1 else rest
-        out.append(f"{seq}\t{src2}\t{typ}\t{s}\t{e}\t{score}\t{strand}"
-                   f"\t{frame}\t{attrs}")
+        m = _re.search(r"so?u?rce?=(\w)", f[8])
+        src = m.group(1) if m else "no_src"
+        if last is not None and not (
+                f[0] == last[0] and f[2] == last[2] and
+                int(f[3]) == int(last[3]) and int(f[4]) == int(last[4])
+                and f[6] == last[6] and
+                f[7].rstrip("\n") == last[7].rstrip("\n")):
+            flush()
+        last = f
+        buckets.setdefault(src, []).append(f)
+    if last is not None:
+        flush()
     return out
 
 
