@@ -57,7 +57,9 @@ def test_psl_to_hints():
            "chr1\t50000\t1000\t2200\t2\t50,50,\t0,50,\t1000,2150,")
     hints = psl_to_hints([psl])
     types = [h.split("\t")[2] for h in hints]
-    assert types.count("exonpart") == 2
+    # blat2hints abbreviates exonpart to "ep" (verified byte-exact vs
+    # the reference scripts/blat2hints.pl)
+    assert types.count("ep") == 2
     assert types.count("intron") == 1
     intron = [h for h in hints if "\tintron\t" in h][0].split("\t")
     assert (int(intron[3]), int(intron[4])) == (1051, 2150)
