@@ -13,8 +13,11 @@ from typing import Dict, List
 
 def gtf_to_gff3(lines) -> List[str]:
     """GTF -> GFF3 (reference scripts/gtf2gff.pl --gff3): gene and
-    transcript lines get ID attributes, features get ID/Parent."""
-    out = ["##gff-version 3"]
+    transcript lines get ID attributes, features get ID/Parent
+    (byte-exact vs the Perl script for gene/mRNA/CDS inputs; the Perl's
+    per-transcript coordinate re-sorting of mixed feature types is not
+    reproduced — features keep input order here)."""
+    out: List[str] = []     # the reference prints no ##gff-version line
     counters: Dict[str, int] = {}
     for line in lines:
         if not line.strip() or line.startswith("#"):
@@ -30,16 +33,18 @@ def gtf_to_gff3(lines) -> List[str]:
             gid = attrs.split('gene_id "')[1].split('"')[0]
         if feat == "gene":
             gid = gid or attrs.strip()
-            f[8] = f"ID={gid}"
+            f[8] = f"ID={gid};"
         elif feat in ("transcript", "mRNA"):
             tid = tid or attrs.strip()
-            f[8] = f"ID={tid};Parent={gid or tid.rsplit('.', 1)[0]}"
+            f[8] = f"ID={tid};Parent={gid or tid.rsplit('.', 1)[0]};"
             f[2] = "mRNA"
         else:
             if tid is None:
                 continue
             counters[(tid, feat)] = counters.get((tid, feat), 0) + 1
-            f[8] = f"ID={tid}.{feat}{counters[(tid, feat)]};Parent={tid}"
+            lab = feat.replace("_codon", "")   # perl: ID label 'start1'
+            f[8] = (f"ID={tid}.{lab}{counters[(tid, feat)]};"
+                    f"Parent={tid};")
         out.append("\t".join(f))
     return out
 

@@ -110,9 +110,10 @@ def test_gtf2gff3():
         'gene_id "g1";',
     ]
     out = gtf_to_gff3(lines)
-    assert out[0].startswith("##gff-version")
-    assert any("ID=g1.t1;Parent=g1" in l for l in out)
-    assert any("Parent=g1.t1" in l for l in out)
+    # byte-format matches the perl script: no version line, trailing ';'
+    assert out[0] == "chr1\tA\tgene\t1\t10\t.\t+\t.\tID=g1;"
+    assert any("ID=g1.t1;Parent=g1;" in l for l in out)
+    assert any("Parent=g1.t1;" in l for l in out)
 
 
 def test_metapars_parsing():
