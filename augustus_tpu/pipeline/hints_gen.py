@@ -1,9 +1,14 @@
-"""Hint-generation converters.
+"""Hint-generation converters, byte-verified against the reference Perl.
 
-Reference: scripts/blat2hints.pl (PSL spliced alignments -> exonpart /
-intron hints), scripts/wig2hints.pl (wiggle coverage -> exonpart hints),
-scripts/join_mult_hints.pl (merge identical hints, summing multiplicity)
-and scripts/filterSpliceHints.pl (keep gt/gc-ag introns).
+Ports of scripts/blat2hints.pl (PSL spliced alignments -> ep/intron
+hints), scripts/wig2hints.pl (wiggle coverage -> CDSpart hints),
+scripts/join_mult_hints.pl (merge identical hints, summing
+multiplicity), scripts/filterSpliceHints.pl (keep pattern-consensus
+introns), scripts/exonerate2hints.pl and scripts/polyA2hints.pl; the
+transMap converter lives in pipeline/transmap2hints.py.  Each function
+was diffed byte-for-byte against the corresponding Perl script on
+synthetic and example inputs (see the round-4 commit messages for the
+cases).
 """
 
 from __future__ import annotations
