@@ -33,6 +33,7 @@ from ..constants import (Constants, ASS_MIDDLE, DSS_MIDDLE, STARTCODON_LEN,
 from ..model.state_config import ST, STATE_READING_FRAMES
 from .gold import GoldEngine, exon_geometry, NEG_INF
 from . import tracks as T
+from . import xputil as U
 
 F32_NEG = np.float32(-1.0e30)
 LOG4 = float(np.log(4.0))
@@ -50,23 +51,41 @@ class UnsupportedByDevice(Exception):
     not (yet) implement; callers fall back to the gold engine."""
 
 
-def _f32(x) -> np.ndarray:
-    """Sanitize -inf/nan to F32_NEG.  Kept in float64: the final float32
+def _f32(x):
+    """Sanitize -inf/nan to F32_NEG.  Kept at full precision (float64 on
+    the host, DD-collapsed float32 under device tracing): the final float32
     conversion happens in _finalize_tracks AFTER the baseline rebase, so
     large-magnitude path scores are rounded only once, near zero."""
+    return U.sanitize(U.val(x))
+
+
+def _pre(x):
+    """Sanitize WITHOUT collapsing a DD pair: pool arrays that still await
+    the baseline rebase (_finalize_tracks) keep their compensation term so
+    the large-magnitude cancellation happens before the single f32 round."""
+    if U.is_dd(x):
+        xp = U.A.xp
+        fin = xp.isfinite(x.hi)
+        hi = xp.maximum(xp.where(fin, x.hi, np.float64(F32_NEG)),
+                        np.float64(F32_NEG))
+        lo = xp.where(fin & (x.hi > float(F32_NEG) / 2), x.lo,
+                      xp.zeros_like(x.lo))
+        return U.DD(hi, lo)
+    return U.sanitize(x)
+
+
+def _c32(x):
+    return U.sanitize(U.val(x)).astype(np.float32)
+
+
+def _f32h(x) -> np.ndarray:
+    """Host-only sanitize for MODEL-LEVEL constants (never traced): keeps
+    them numpy so the static/pack layout machinery stays host data."""
     y = np.array(x, dtype=np.float64)
     np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG),
                   posinf=float(F32_NEG))
     np.maximum(y, float(F32_NEG), out=y)
     return y
-
-
-def _c32(x) -> np.ndarray:
-    y = np.array(x, dtype=np.float64)
-    np.nan_to_num(y, copy=False, nan=float(F32_NEG), neginf=float(F32_NEG),
-                  posinf=float(F32_NEG))
-    np.maximum(y, float(F32_NEG), out=y)
-    return y.astype(np.float32)
 
 
 class Pool:
@@ -232,7 +251,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
         for p in ancestors:
             row[p] = 0.0 if bare else (
                 np.log(base_lt[p, target]) if base_lt[p, target] > 0 else NEG_INF)
-        lane_rows.append(_f32(row))
+        lane_rows.append(_f32h(row))
         lane_tgt.append(target)
         return len(lane_rows) - 1
 
@@ -269,13 +288,13 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
 
     tr = DPTracks(n=n, S=S, n_classes=C, n_lanes=0, gpad=gpad,
                   stairs=eng.stairs.astype(np.int32),
-                  log_trans=np.stack([_f32(lt) for lt in eng.log_trans]),
-                  log_init=_f32(eng.log_init), log_term=_f32(eng.log_term),
+                  log_trans=np.stack([_f32h(lt) for lt in eng.log_trans]),
+                  log_init=_f32h(eng.log_init), log_term=_f32h(eng.log_term),
                   lane_trans=None, lane_target=None,
-                  log_psi=_f32([np.log(g.prob_short_intron)
-                                for g in eng.inp.gc]),
-                  log_1mpsi=_f32([np.log(1 - g.prob_short_intron)
-                                  for g in eng.inp.gc]),
+                  log_psi=_f32h([np.log(g.prob_short_intron)
+                                 for g in eng.inp.gc]),
+                  log_1mpsi=_f32h([np.log(1 - g.prob_short_intron)
+                                   for g in eng.inp.gc]),
                   log_geo_ass=None, gold=eng)
 
     # geometric -> splice-exit class-dependent transition, by TARGET state.
@@ -296,27 +315,27 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                     and sg.transitions[p, s] > 0]
                 if geo:
                     geo_ass[c, s] = ltc[geo[0], s]
-    tr.log_geo_ass = _f32(geo_ass)
+    tr.log_geo_ass = _f32h(geo_ass)
 
     # shared lessD/equalD bare lanes by frame-state
     bare_dss_lane: Dict[int, int] = {}   # longdss state idx -> lane
+    xp = U.A.xp
 
     for s, t in enumerate(types):
         anc = [p for p in range(S) if sg.transitions[p, s] > 0]
         if t == ST.igenic:
-            tr.chain.append(ChainState(s, np.stack(
+            tr.chain.append(ChainState(s, U.stk(
                 [_f32(eng.ig_track[c]) for c in range(C)])))
         elif t in (ST.geometric0, ST.geometric1, ST.geometric2,
                    ST.rgeometric0, ST.rgeometric1, ST.rgeometric2):
             # intronpart/nonexonpart hint bonus per base (gold._chain_cands)
             ipb = ipb_p if t in (ST.geometric0, ST.geometric1,
                                  ST.geometric2) else ipb_m
-            tr.chain.append(ChainState(s, np.stack(
+            tr.chain.append(ChainState(s, U.stk(
                 [_f32(eng.intron_f[c] + ipb) for c in range(C)])))
         elif t in (ST.longdss0, ST.longdss1, ST.longdss2,
                    ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
             fwd = t in (ST.longdss0, ST.longdss1, ST.longdss2)
-            emi = np.full(n, NEG_INF)
             j = np.arange(n)
             src = sp.dss_score if fwd else sp.rdss_score
             start = j - cn.dss_whole_size + 1
@@ -326,19 +345,19 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             else:
                 gate = T.is_possible_rdss(sp.rdss_ok, j - cn.dss_start)
             sel = (start >= 0) & gate
-            emi[sel] = src[start[sel]]
+            emi = U.where(sel, src[np.clip(start, 0, n - 1)], NEG_INF)
             if hints_on:
                 # intronic sub-range of the dss window
                 # (gold._fixed_intron_cands hint branch)
                 smc = ipc_p if fwd else ipc_m
                 eop = j - cn.dss_whole_size
                 if fwd:
-                    seg = smc[j + 1] - smc[np.clip(
-                        j - DSS_MIDDLE - cn.dss_end + 1, 0, n)]
+                    seg = U.val(smc[j + 1] - smc[np.clip(
+                        j - DSS_MIDDLE - cn.dss_end + 1, 0, n)])
                 else:
-                    seg = smc[np.clip(j - cn.dss_start + 1, 0, n)] - \
-                        smc[np.clip(eop + 1, 0, n)]
-                emi = np.where(emi > NEG_INF, emi + seg, emi)
+                    seg = U.val(smc[np.clip(j - cn.dss_start + 1, 0, n)] -
+                                smc[np.clip(eop + 1, 0, n)])
+                emi = xp.where(emi > NEG_INF, emi + seg, emi)
             # reverse-strand longdss states are entered from rgeometric
             # (mirrored intron order) whose row is class-renormalized:
             # split ancestors like longass (kind 2)
@@ -346,7 +365,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                 ST.geometric0, ST.geometric1, ST.geometric2,
                 ST.rgeometric0, ST.rgeometric1, ST.rgeometric2)]
             geo = [p for p in anc if p not in nongeo]
-            emi_all = np.broadcast_to(_f32(emi), (C, n)).copy()
+            emi_all = xp.broadcast_to(_f32(emi), (C, n))
             if geo:
                 laneA = new_lane(s, nongeo)
                 laneB = new_lane(s, geo, bare=True)
@@ -373,19 +392,18 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                 smc = ipc_p if fwd else ipc_m
                 eop = j - jump
                 if fwd:
-                    seg = smc[np.clip(j - cn.ass_end + 1, 0, n)] - \
-                        smc[np.clip(eop + 1, 0, n)]
+                    seg = U.val(smc[np.clip(j - cn.ass_end + 1, 0, n)] -
+                                smc[np.clip(eop + 1, 0, n)])
                 else:
-                    seg = smc[j + 1] - smc[np.clip(eop + 1 + cn.ass_end,
-                                                   0, n)]
+                    seg = U.val(smc[j + 1] - smc[np.clip(eop + 1 + cn.ass_end,
+                                                         0, n)])
             per_c = []
             for c in range(C):
-                emi = np.full(n, NEG_INF)
                 src = sp.ass_score[c] if fwd else sp.rass_score[c]
                 sel = (start >= 0) & gate
-                emi[sel] = src[start[sel]]
+                emi = U.where(sel, src[np.clip(start, 0, n - 1)], NEG_INF)
                 if hints_on:
-                    emi = np.where(emi > NEG_INF, emi + seg, emi)
+                    emi = xp.where(emi > NEG_INF, emi + seg, emi)
                 per_c.append(_f32(emi))
             nongeo = [p for p in anc if types[p] not in (
                 ST.geometric0, ST.geometric1, ST.geometric2,
@@ -394,33 +412,34 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             laneA = new_lane(s, nongeo)
             laneB = new_lane(s, geo, bare=True)
             assert laneB == laneA + 1
-            tr.fixed.append(FixedState(s, jump, 2, laneA, np.stack(per_c)))
+            tr.fixed.append(FixedState(s, jump, 2, laneA, U.stk(per_c)))
         elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
                    ST.requalD0, ST.requalD1, ST.requalD2):
+            jj = np.arange(n)
+            ok_j = jj >= dsl
             hint_seg = 0.0
             if hints_on:
                 # gold._fixed_intron_cands: equalD uses the plus cums,
                 # requalD the minus cums; + the intron malus
                 smc = ipc_p if t in (ST.equalD0, ST.equalD1,
                                      ST.equalD2) else ipc_m
-                jj = np.arange(dsl, n)
-                hint_seg = np.zeros(n)
-                hint_seg[jj] = smc[jj + 1] - smc[jj - dsl + 1] + \
-                    lm["intron"]
+                hint_seg = xp.where(
+                    ok_j,
+                    U.val(smc[jj + 1] - smc[np.clip(jj - dsl + 1, 0, n)])
+                    + lm["intron"], 0.0)
             per_c = []
             for c in range(C):
                 cum = eng.cum_intron_f[c]    # requalD also fwd (quirk)
-                emi = np.full(n, NEG_INF)
-                j = np.arange(dsl, n)
-                emi[j] = cum[j + 1] - cum[j - dsl + 1]
+                seg = U.val(cum[jj + 1] - cum[np.clip(jj - dsl + 1, 0, n)])
+                emi = xp.where(ok_j, seg, NEG_INF)
                 if hints_on:
-                    emi = np.where(emi > NEG_INF, emi + hint_seg, emi)
+                    emi = xp.where(emi > NEG_INF, emi + hint_seg, emi)
                 per_c.append(_f32(emi))
             dss = anc[0]
             if dss not in bare_dss_lane:
                 bare_dss_lane[dss] = new_lane(s, [dss], bare=True)
             tr.fixed.append(FixedState(s, dsl, 1, bare_dss_lane[dss],
-                                       np.stack(per_c)))
+                                       U.stk(per_c)))
         elif t in (ST.lessD0, ST.lessD1, ST.lessD2,
                    ST.rlessD0, ST.rlessD1, ST.rlessD2):
             dss = anc[0]
@@ -429,7 +448,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             tr.lessd.append(_build_lessd(eng, s, t, bare_dss_lane[dss], pool))
         elif t in (ST.rterminal0, ST.rterminal1, ST.rterminal2, ST.rsingleG):
             lane = new_lane(s, anc)
-            tr.exon_pinned.append(_build_pinned(eng, s, t, lane))
+            tr.exon_pinned.append(_build_pinned(eng, s, t, lane, gpad))
         elif sg.model_class[s] == "utrmodel":
             from .gold_utr import UTR_CHAIN, UTR_VAR
             if t in UTR_CHAIN:
@@ -474,7 +493,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
     tr.lane_trans = np.stack(lane_rows).astype(np.float32)
     tr.lane_target = np.array(lane_tgt, dtype=np.int32)
     if hints_on and getattr(eng, "_device_sparse_hints", False):
-        tr.hint_tables = _build_hint_tables(eng, gpad)
+        tr.hint_tables = _hint_tables_cached(eng, gpad)
         tr.hint_lm = {k: float(lm[k])
                       for k in ("exonpart", "CDSpart", "exon", "CDS")}
         tr.hint_lm["local_cp"] = float(eng.log_local_malus_cp)
@@ -494,49 +513,52 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
     stretches — so f32 rounding stays at the ulp of the local deviation.
     base[p <= 0] = 0, so the synch/init boundary region is unaffected.
     """
+    xp = U.A.xp
     n = tr.n
     stairs = tr.stairs.astype(np.int64)
-    ig_all = np.stack([np.asarray(eng.ig_track[c])
-                       for c in range(len(eng.inp.gc))])
+    ig_all = U.stk([eng.ig_track[c] for c in range(len(eng.inp.gc))])
     igj = ig_all[stairs, np.arange(n)]
-    base = np.zeros(n)
-    if n > 1:
-        base[1:] = np.cumsum(igj[1:])
-    tr.base = base
+    # dbase[p] = base[p] - base[p-1] exactly (igj with the p=0 entry zeroed)
+    dbase = xp.concatenate([xp.zeros(1, dtype=igj.dtype), igj[1:]]) \
+        if n > 1 else xp.zeros(n, dtype=igj.dtype)
+    base_dd = U.DD.cumsum_dd(dbase)
+    tr.base = np.asarray(U.val(base_dd)) if not U.A.is_jax \
+        else U.val(base_dd)
 
     def base_at(idx):
-        idx = np.asarray(idx)
-        return np.where(idx < 0, 0.0, base[np.clip(idx, 0, n - 1)])
+        idx = np.asarray(idx) if not hasattr(idx, "aval") else idx
+        bt = base_dd.take(xp.clip(idx, 0, n - 1))
+        return bt.where(idx >= 0, 0.0)
 
     pos = np.arange(n)
-    dbase = np.zeros(n)
-    dbase[1:] = base[1:] - base[:-1]
     for cs in tr.chain:
         cs.emi = _c32(cs.emi - dbase[None, :])
     for fs in tr.fixed:
-        adj = base_at(pos - fs.jump) - base
-        fs.emi = _c32(np.where(fs.emi > float(F32_NEG) / 2,
+        adj = U.val(base_at(pos - fs.jump) - base_dd)
+        fs.emi = _c32(xp.where(fs.emi > float(F32_NEG) / 2,
                                fs.emi + adj[None, :], fs.emi))
     for ps in tr.exon_pinned:
-        adj = base_at(ps.eop) - base
-        ps.score = _c32(np.where(ps.score > float(F32_NEG) / 2,
+        adj = U.val(base_at(ps.eop) - base_dd)
+        ps.score = _c32(xp.where(ps.score > float(F32_NEG) / 2,
                                  ps.score + adj[None, :], ps.score))
     for ls in tr.lessd:
-        ls.lenvec = _c32(ls.lenvec)
+        ls.lenvec = np.asarray(ls.lenvec, dtype=np.float32)
     for ecs in tr.exon_conv:
         for var in ecs.variants:
-            var.lenvec = _c32(var.lenvec)
+            var.lenvec = np.asarray(var.lenvec, dtype=np.float32)
 
     out = []
     for arr, rb in zip(pool.arrays, pool.rb):
-        a = np.asarray(arr, dtype=np.float64)
+        a = arr if U.is_dd(arr) else U.sanitize(arr)
         if rb is None:
             out.append(_c32(a))
             continue
         kind = rb[0]
+        guard = U.val(a) > float(F32_NEG) / 2 if not U.is_dd(a) \
+            else a.hi > float(F32_NEG) / 2
         if kind == "H":
-            adj = -base
-            a = np.where(a > float(F32_NEG) / 2, a + adj[None, :], a)
+            adj = -base_dd
+            a = U.where(guard, a + adj, a)
         elif kind == "G":
             shift = rb[1]
             nb = a.shape[-1]
@@ -545,18 +567,18 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
             else:                            # extended [-gpad, n+END_PAD)
                 bidx = np.arange(nb) - tr.gpad - shift
             adj = base_at(bidx)
-            a = np.where(a > float(F32_NEG) / 2, a + adj, a)
+            a = U.where(guard, a + adj, a)
         elif kind == "cum":                  # (C, n+1), index p = pos+1
             adj = -base_at(np.arange(a.shape[-1]) - 1)
             a = a + adj
         out.append(_c32(a))
     tr.pool = out
     tr.log_trans = np.asarray(tr.log_trans, dtype=np.float32)
-    tr.log_init = _c32(tr.log_init)
-    tr.log_term = _c32(tr.log_term)
-    tr.log_psi = _c32(tr.log_psi)
-    tr.log_1mpsi = _c32(tr.log_1mpsi)
-    tr.log_geo_ass = _c32(tr.log_geo_ass)
+    tr.log_init = np.asarray(tr.log_init, dtype=np.float32)
+    tr.log_term = np.asarray(tr.log_term, dtype=np.float32)
+    tr.log_psi = np.asarray(tr.log_psi, dtype=np.float32)
+    tr.log_1mpsi = np.asarray(tr.log_1mpsi, dtype=np.float32)
+    tr.log_geo_ass = np.asarray(tr.log_geo_ass, dtype=np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -577,8 +599,8 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
         lm_intron = eng.log_malus["intron"]
     cum_key = ("cum_intron_f" if fwd else "cum_intron_r") + \
         ("_h" if hints_on else "")
-    cum_id = pool.add(cum_key, lambda: np.stack(
-        [_f32((eng.cum_intron_f[c] if fwd else eng.cum_intron_r[c]) + ipbc)
+    cum_id = pool.add(cum_key, lambda: U.stk(
+        [_pre((eng.cum_intron_f[c] if fwd else eng.cum_intron_r[c]) + ipbc)
          for c in range(C)]), rb=("cum",))
 
     eops = np.arange(n)
@@ -602,18 +624,17 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
                    ~T.is_possible_rdss(sp.rdss_ok, ebi))
     guard = bbi > 1
 
-    def ch(idx):
-        out = np.full(n, genetics.N, dtype=np.int64)
-        ok = (idx >= 0) & (idx < n)
-        out[ok] = codes[idx[ok]]
-        return out
+    xp = U.A.xp
 
-    r1 = ch(ebi + 1)
-    r2 = ch(ebi + 2)
+    def ch(idx):
+        ok = (idx >= 0) & (idx < n)
+        return xp.where(ok, codes[np.clip(idx, 0, n - 1)].astype(np.int64),
+                        np.int64(genetics.N))
+
     past = ebi >= n - 2
-    r1[past] = genetics.N
-    r2[past] = genetics.N
-    comp = genetics.COMPLEMENT
+    r1 = xp.where(past, np.int64(genetics.N), ch(ebi + 1))
+    r2 = xp.where(past, np.int64(genetics.N), ch(ebi + 2))
+    comp = U.asarr(genetics.COMPLEMENT)
     A, G, Tb, Nb = genetics.A, genetics.G, genetics.T, genetics.N
     b_stop = np.zeros(n, dtype=np.int8)
     j_sel = np.zeros(n, dtype=np.int8)
@@ -634,17 +655,17 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
     elif t == ST.rlessD0:
         l1 = ch(bbi - 1)
         l2 = ch(bbi - 2)
-        c1 = comp[np.clip(l1, 0, 4)]
-        c2 = comp[np.clip(l2, 0, 4)]
+        c1 = comp[xp.clip(l1, 0, 4)]
+        c2 = comp[xp.clip(l2, 0, 4)]
         b_stop = (guard & (((c1 == A) & ((c2 == A) | (c2 == G))) |
                            ((c1 == G) & (c2 == A)))).astype(np.int8)
-        cr1 = comp[np.clip(r1, 0, 4)]
+        cr1 = comp[xp.clip(r1, 0, 4)]
         j_sel = (cr1 == Tb).astype(np.int8)
     elif t == ST.rlessD1:
         l1 = ch(bbi - 1)
-        c2 = comp[np.clip(l1, 0, 4)]
-        cr1 = comp[np.clip(r1, 0, 4)]
-        cr2 = comp[np.clip(r2, 0, 4)]
+        c2 = comp[xp.clip(l1, 0, 4)]
+        cr1 = comp[xp.clip(r1, 0, 4)]
+        cr2 = comp[xp.clip(r2, 0, 4)]
         case_ta = (cr2 == Tb) & (cr1 == A)
         case_tg = (cr2 == Tb) & (cr1 == G)
         b_stop = (guard & ((c2 == A) | (c2 == G))).astype(np.int8) | \
@@ -667,7 +688,7 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
         if 0 <= ln <= eng.inp.d:
             lv[w] = eng.log_len_intron[ln] + lm_intron
     return LessDState(state=s, lane=lane, window=dsl, cum_id=cum_id,
-                      lenvec=_f32(lv), b_valid=b_valid, b_stopflag=b_stop,
+                      lenvec=_f32h(lv), b_valid=b_valid, b_stopflag=b_stop,
                       j_gate=j_gate, j_stopsel=j_sel)
 
 
@@ -682,65 +703,213 @@ def _lessd_stop_combine(t_is_two_case: bool):
 
 # ---------------------------------------------------------------------------
 
-def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int
+def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
+                      bob, ebx, exon_len, gpad: int):
+    """exonpart/CDSpart/exon/CDS quotient for the single-candidate pinned
+    states (reverse strand), via the cumulative HintTables decomposition —
+    same formulas as scan._hint_quot, evaluated at one begin per j
+    (reference exonmodel.cc:1769-1860; host oracle gold._exon_part_quot)."""
+    xp = U.A.xp
+    lm = eng.log_malus
+    n = eng.n
+    if not getattr(eng, "_device_sparse_hints", False):
+        # no exon-kind hints: the quotient is the separable malus form
+        return (exon_len * (lm["exonpart"] + lm["CDSpart"])
+                + lm["exon"] + lm["CDS"])
+    ht = _hint_tables_cached(eng, gpad)["-"]
+
+    def xr(name, idx, zero_oob_low=True):
+        """ht.xrows[name][idx], 0 below 0, saturated above n-1."""
+        v = ht.xrows[name]
+        g = v[xp.clip(idx, 0, n - 1)]
+        return xp.where(idx < 0, 0.0, g) if zero_oob_low else g
+
+    e_in = ebx <= n - 1          # crossing/exact tables are void past n-1
+    eb = xp.clip(ebx, 0, n - 1)
+    bm1 = bob - 1
+
+    cov_ep = xp.where(e_in, xr("TX_ep", eb), 0.0)
+    cov_cp = xp.where(e_in, xr("TX_cp", eb), 0.0)
+    covc_ep = xp.where(e_in, xr("TXc_ep", eb), 0.0)
+    covc_cp = xp.where(e_in, xr("TXc_cp", eb), 0.0)
+    for k in range(ht.cross_start.shape[1]):
+        sk = ht.cross_start[eb, k]
+        wk = ht.cross_w[eb, k]
+        fl = ht.cross_flag[eb, k]
+        sub = (e_in & (sk >= bob)).astype(wk.dtype)
+        cov_ep = cov_ep - xp.where(fl == 1, wk, 0.0) * sub
+        covc_ep = covc_ep - xp.where(fl == 1, 1.0, 0.0) * sub
+        cov_cp = cov_cp - xp.where(fl == 2, wk, 0.0) * sub
+        covc_cp = covc_cp - xp.where(fl == 2, 1.0, 0.0) * sub
+
+    crw_ep = xr("CR_ep", bob)
+    inside_ep = xr("BE_ep", eb) - xr("BE_ep", bm1) - crw_ep + cov_ep
+    inside_cp = xr("BE_cp", eb) - xr("BE_cp", bm1) - xr("CR_cp", bob) + cov_cp
+    ccw_ep = xr("CntCR_ep", bob)
+    cin_ep = xr("CntBE_ep", eb) - xr("CntBE_ep", bm1) - ccw_ep + covc_ep
+    cin_cp = xr("CntBE_cp", eb) - xr("CntBE_cp", bm1) - \
+        xr("CntCR_cp", bob) + covc_cp
+    part_bonus = inside_ep + inside_cp
+    nep = cin_ep + cin_cp
+    if aL:
+        part_bonus = part_bonus + 0.5 * (crw_ep - cov_ep)
+        nep = nep + (ccw_ep - covc_ep)
+    if aR:
+        part_bonus = part_bonus + 0.5 * (xr("C2_ep", eb) - cov_ep)
+        nep = nep + (xr("CntC2_ep", eb) - covc_ep)
+    quot = part_bonus
+
+    sup_ex = xp.zeros(bob.shape)
+    sup_cds = xp.zeros(bob.shape)
+    for k in range(ht.ex_pos.shape[1]):
+        pk = ht.ex_pos[eb, k]
+        wk = ht.ex_w[eb, k]
+        kd = ht.ex_kind[eb, k]
+        cond = (e_in & (kd == 1) & (bob == pk)).astype(wk.dtype)
+        quot = quot + wk * cond
+        sup_cds = xp.maximum(sup_cds, cond)
+        if exclass == 1:
+            cond = (e_in & (kd == 2) & (bob == pk)).astype(wk.dtype)
+            quot = quot + wk * cond
+            sup_ex = xp.maximum(sup_ex, cond)
+        elif exclass == 3:
+            cond = (e_in & (kd == 3) & (pk < bob) &
+                    (pk > -(1 << 29))).astype(wk.dtype)
+            quot = quot + 0.5 * wk * cond
+            sup_ex = xp.maximum(sup_ex, cond)
+    quot = quot + lm["exon"] * (1.0 - sup_ex) + lm["CDS"] * (1.0 - sup_cds)
+
+    d_ep = exon_len - (xr("CntE_ep", eb) - xr("CntE_ep", bm1))
+    d_cp = exon_len - (xr("CntE_cp", eb) - xr("CntE_cp", bm1))
+    quot = quot + xp.where(d_ep > 0, d_ep * lm["exonpart"], 0.0)
+    quot = quot + xp.where(d_cp > 0, d_cp * lm["CDSpart"], 0.0)
+
+    zc = xr("ZC", eb) - xr("ZC", bm1)
+    lpm = xp.where(zc > 0, zc * eng.log_local_malus_cp, 0.0)
+    lpm = xp.maximum(lpm, -part_bonus)
+    quot = quot + xp.where(nep >= 4.5, lpm, 0.0)
+    return quot
+
+
+def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
                   ) -> ExonPinnedState:
     """rterminal*/rsingleG: single begin candidate b = ORFleft+2 per j
-    (reference exonmodel.cc:1044).  Fully precomputed on the host using the
-    gold engine's exact _not_end_part."""
+    (reference exonmodel.cc:1044).  Vectorized over all j from the dense
+    tracks (gold oracle: gold._not_end_part at start_min == start_max,
+    gold.py:951-952); xp-generic so the device prep path traces it."""
+    xp = U.A.xp
     cn, n = eng.cn, eng.n
     g = eng.geom[t]
     C = len(eng.inp.gc)
+    k = eng.exp.k
+    log_nc = float(np.log(cn.prob_n_in_coding))
+    L3 = float(np.log(3.0))
+    hints_on = getattr(eng, "hints", None) is not None
     j = np.arange(n)
 
     if t == ST.rsingleG:
-        ends = [np.asarray(eng.tis_end_rev[c]) for c in range(C)]
+        ends = [eng.tis_end_rev[c] for c in range(C)]
     else:
         asspos = j + cn.ass_end + 1
         gate = (j == n - 1) | ((j + cn.ass_end + ASS_MIDDLE < n) &
                                T.is_possible_rass(eng.splice.rass_ok, asspos))
-        end = np.where(gate, 0.0, NEG_INF)
-        if getattr(eng, "hints", None) is not None:
+        end = xp.where(gate, 0.0, NEG_INF)
+        if hints_on:
             ok = (asspos >= 0) & (asspos < n)
-            padj = np.where(ok, eng.ass_site_adj_m[np.clip(asspos, 0, n - 1)],
+            padj = xp.where(ok, eng.ass_site_adj_m[np.clip(asspos, 0, n - 1)],
                             eng.log_malus["ass"])
-            end = np.where(end > NEG_INF, end + padj, end)
+            end = xp.where(end > NEG_INF, end + padj, end)
         ends = [end for _ in range(C)]
 
-    end_any = np.maximum.reduce(ends) > NEG_INF
-    feas = np.flatnonzero(end_any)
+    # ---- the single begin candidate per j ------------------------------
+    end_of_bio = j + g.base_offset
+    right = end_of_bio - g.inner_part_end_offset
+    frc = int((g.win + g.inner_part_end_offset + 1) % 3)   # frame_of_right
+    eon = np.minimum(end_of_bio, n - 1)
+    f_eon = (g.win + 1 + end_of_bio - eon) % 3
+    orf_left = T.leftmost_exon_begin(eng.orf, f_eon, eon, False, cn, n)
+    b = orf_left + 2
+    eop = b - g.begin_part_len - 1
+    keep = (right >= 0) & (eop < n)
 
-    eop_arr = np.full(n, -1, dtype=np.int32)
-    score = np.full((C, n), NEG_INF)
-    if feas.size:
-        # vectorized over all feasible end positions (chunked so the hint
-        # overlap query in _exon_part_quot stays local)
-        end_of_bio = feas + g.base_offset
-        right = end_of_bio - g.inner_part_end_offset
-        # frame_of_right == (win + base_offset + 1 - ... ) is constant
-        frame_of_right = int((g.win + g.inner_part_end_offset + 1) % 3)
-        eon = np.minimum(end_of_bio, n - 1)
-        f_eon = (g.win + 1 + end_of_bio - eon) % 3
-        orf_left = np.asarray(T.leftmost_exon_begin(
-            eng.orf, f_eon, eon, False, cn, n), dtype=np.int64)
-        b = orf_left + 2
-        eop = b - g.begin_part_len - 1
-        keep = (right >= 0) & (eop < n)
-        feas, b, right, eop = feas[keep], b[keep], right[keep], eop[keep]
-        CHK = 2048
-        for o in range(0, feas.shape[0], CHK):
-            fj = feas[o: o + CHK]
-            bk = b[o: o + CHK]
-            rk = right[o: o + CHK]
-            for c in range(C):
-                sel = ends[c][fj] > NEG_INF
-                if not sel.any():
-                    continue
-                vals = eng._not_end_part(t, c, g, bk[sel], rk[sel],
-                                         frame_of_right)
-                score[c, fj[sel]] = np.where(
-                    vals > NEG_INF, vals + ends[c][fj[sel]], NEG_INF)
-        ok = (score[:, feas] > NEG_INF).any(axis=0)
-        eop_arr[feas[ok]] = eop[ok]
+    # ---- notEndPart, reverse strand ------------------------------------
+    bob = b - g.inner_part_offset
+    begin = xp.where((bob >= 0) & (bob < n),
+                     eng.begin_rstop[xp.clip(bob, 0, n - 1)], NEG_INF)
+
+    # restSeqProb: over / short-pattern / normal regimes
+    over_val = (b - right - 1) * LOG4
+    lsh = right - b                                     # in [0, k] => short
+    short_val = [xp.zeros(n) for _ in range(C)]
+    for m in range(0, k + 1):
+        rids = eng.rc_kmer_ids_full(m + 1)
+        okb = (b >= 0) & (b <= n - (m + 1))
+        pid = xp.where(okb, rids[xp.clip(b, 0, max(n - (m + 1), 0))], -1)
+        for c in range(C):
+            lplsm = U.asarr(eng.log_pls(c, m)[int((frc + m) % 3)])
+            v = xp.where(pid >= 0, lplsm[xp.clip(pid, 0, None)],
+                         (m + 1) * log_nc)
+            short_val[c] = xp.where(lsh == m, v, short_val[c])
+
+    # normal regime (right - b > k)
+    begin_initp = right - (k - 1)
+    rids_k = eng.rc_kmer_ids_full(k)
+    ok_ip = (begin_initp >= 0) & (begin_initp <= n - k)
+    pid = xp.where(ok_ip, rids_k[xp.clip(begin_initp, 0, max(n - k, 0))], -1)
+    frame_ip = int((frc + k - 1) % 3)
+    phi = (frc + right) % 3
+
+    def _gc(cum, ph, idx):
+        return cum[(ph, xp.clip(idx, 0, n))]
+
+    def _seg(cum, ph, lo, hi):
+        d = _gc(cum, ph, hi + 1) - _gc(cum, ph, lo)
+        return U.where(lo > hi, 0.0, U.val(d) if U.is_dd(d) else d)
+
+    initL = cn.init_coding_len
+
+    # length distribution + hint quotient (class-independent)
+    exon_len = end_of_bio - bob + 1
+    le = xp.clip(exon_len, 0, cn.max_exon_len)
+    if t == ST.rsingleG:
+        lend = U.asarr(eng.log_len_exon["single"])
+        lp = xp.where((exon_len >= 1) & (exon_len % 3 == 0),
+                      L3 + lend[le], NEG_INF)
+    else:
+        lend = U.asarr(eng.log_len_exon["terminal"])
+        lp = xp.where((exon_len >= 1) & ((2 - exon_len) % 3 == g.win),
+                      L3 + lend[le], NEG_INF)
+    quot = 0.0
+    if hints_on:
+        quot = _pinned_hint_quot(eng, True, t == ST.rsingleG,
+                                 0 if t == ST.rsingleG else 3, bob,
+                                 end_of_bio, exon_len, gpad)
+
+    score_c = []
+    for c in range(C):
+        lplsk = U.asarr(eng.log_pls(c, k - 1)[frame_ip])
+        initpat = xp.where(pid >= 0, lplsk[xp.clip(pid, 0, None)],
+                           k * log_nc)
+        cum_emi = eng.cum_exon[(c, "emi", False)]
+        if t == ST.rsingleG:
+            cum_init = eng.cum_exon[(c, "init", False)]
+            begin_init = xp.maximum(begin_initp - initL, b)
+            seg = _seg(cum_init, phi, begin_init, begin_initp - 1) + \
+                _seg(cum_emi, phi, b, begin_init - 1)
+        else:   # rterminal*
+            seg = _seg(cum_emi, phi, b, begin_initp - 1)
+        normal_val = initpat + seg
+        rest = xp.where(b > right, over_val,
+                        xp.where(lsh <= k, short_val[c], normal_val))
+        note = begin + rest + lp + quot
+        v = xp.where((note > NEG_INF) & (ends[c] > NEG_INF) & keep,
+                     note + ends[c], NEG_INF)
+        score_c.append(v)
+    score = U.stk(score_c)
+    live = score_c[0] > NEG_INF
+    for sc in score_c[1:]:
+        live = live | (sc > NEG_INF)
+    eop_arr = xp.where(live, eop, -1).astype(np.int32)
     return ExonPinnedState(state=s, lane=lane, eop=eop_arr,
                            score=_f32(score))
 
@@ -783,11 +952,12 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
 
     hints_on = getattr(eng, "hints", None) is not None
     lm = eng.log_malus if hints_on else {}
+    xp = U.A.xp
 
     def _site_adj(track, pos, oob):
         """track[pos] where pos in range else oob (site hint fades/malus)."""
         ok = (pos >= 0) & (pos < n)
-        return np.where(ok, track[np.clip(pos, 0, n - 1)], oob)
+        return xp.where(ok, track[np.clip(pos, 0, n - 1)], oob)
 
     cums = {name: [eng.cum_exon[(c, name, fwd)] for c in range(C)]
             for name in ("emi", "init", "et")}
@@ -795,39 +965,39 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     def catb(name, idx):
         """(C, 3, len(idx)): cum[name][c][:, clip(idx)] — for G (b-indexed)."""
         idx = np.clip(idx, 0, n)
-        return np.stack([cums[name][c][:, idx] for c in range(C)])
+        return U.stk([cums[name][c][:, idx] for c in range(C)])
 
     def catj(name, idx):
         """(C, len(idx)): cum at the j-phase — for H."""
         idx = np.clip(idx, 0, n)
-        return np.stack([cums[name][c][phi_j, idx] for c in range(C)])
+        return U.stk([cums[name][c][phi_j, idx] for c in range(C)])
 
     # ---------------- begin-part track over b ---------------------------
     bob = b - g.inner_part_offset
     begin_list = []
     for c in range(C):
         if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
-            bt = np.where((bob >= 0) & (bob < n),
+            bt = xp.where((bob >= 0) & (bob < n),
                           eng.tis_begin_fwd[c][np.clip(bob, 0, n - 1)],
                           NEG_INF)
         elif t in (ST.terminal, ST.internal0, ST.internal1, ST.internal2):
             shortcut = (bob < 0) | ((bob - ASS_MIDDLE >= 0) &
                                     ~T.is_possible_ass(sp.ass_ok, bob - 1))
-            bt = np.where(b > 0, np.where(shortcut, NEG_INF, 0.0),
-                          np.where(b == 0, 0.0, NEG_INF))
+            bt = xp.where(b > 0, xp.where(shortcut, NEG_INF, 0.0),
+                          xp.where(b == 0, 0.0, NEG_INF))
             if hints_on:
                 padj = _site_adj(eng.ass_site_adj_p, bob - 1, lm["ass"])
-                bt = np.where((b > 0) & (bt > NEG_INF), bt + padj, bt)
+                bt = xp.where((b > 0) & (bt > NEG_INF), bt + padj, bt)
         else:   # rinitial, rinternal*
             blocked = (bob < 0) | ((bob - DSS_MIDDLE > 0) &
                                    ~T.is_possible_rdss(sp.rdss_ok, bob - 1))
-            bt = np.where(b == 0, 0.0, np.where(blocked, NEG_INF, 0.0))
+            bt = xp.where(b == 0, 0.0, xp.where(blocked, NEG_INF, 0.0))
             if hints_on:
                 # malus only when beginOfBioExon > 0 (exonmodel.cc:1534)
                 padj = _site_adj(eng.dss_site_adj_m, bob - 1, 0.0)
-                bt = np.where((b != 0) & (bt > NEG_INF), bt + padj, bt)
+                bt = xp.where((b != 0) & (bt > NEG_INF), bt + padj, bt)
         begin_list.append(bt)
-    begin_arr = np.stack(begin_list)                       # (C, n)
+    begin_arr = U.stk(begin_list)                          # (C, n)
     begin_key = {
         ST.singleG: "tis", ST.initial0: "tis", ST.initial1: "tis",
         ST.initial2: "tis", ST.terminal: "ass", ST.internal0: "ass",
@@ -836,43 +1006,35 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     }[t]
 
     # ---------------- end gate / endPart over j -------------------------
-    end_part = np.zeros((C, n))
     if t in (ST.singleG, ST.terminal):
-        for c in range(C):
-            end_part[c] = eng.end_stop_fwd
+        end_part = U.stk([eng.end_stop_fwd for _ in range(C)])
     elif t == ST.rinitial:
-        for c in range(C):
-            end_part[c] = eng.tis_end_rev[c]
+        end_part = U.stk([eng.tis_end_rev[c] for c in range(C)])
     elif t in (ST.initial0, ST.initial1, ST.initial2,
                ST.internal0, ST.internal1, ST.internal2):
         dsspos = j + cn.dss_start + 1
-        gate = np.full(n, NEG_INF)
-        gate[n - 1] = 0.0
         mid = (j < n - 1) & ~(((dsspos + DSS_MIDDLE - 1 < n) &
                                ~T.is_possible_dss(sp.dss_ok, dsspos)) |
                               (j + cn.dss_start >= n))
-        for jj in np.flatnonzero(mid).tolist():
-            lmb = T.leftmost_exon_begin_raw(eng.orf, g.win - 1,
-                                            jj + cn.dss_start, True, cn, n)
-            if lmb < jj:
-                gate[jj] = 0.0
+        # vectorized leftmostExonBegin with the RAW frame value win-1
+        # (may be -1 for win==0: then pos = base+1 — the (frame==0)|(==1)
+        # branch of T.leftmost_exon_begin handles exactly that mapping)
+        lmb = T.leftmost_exon_begin(
+            eng.orf, np.full(n, g.win - 1), j + cn.dss_start, True, cn, n)
+        gate = xp.where((j == n - 1) | (mid & (lmb < j)), 0.0, NEG_INF)
         if hints_on:
             padj = _site_adj(eng.dss_site_adj_p, dsspos, lm["dss"])
-            gate = np.where(gate > NEG_INF, gate + padj, gate)
-        for c in range(C):
-            end_part[c] = gate
+            gate = xp.where(gate > NEG_INF, gate + padj, gate)
+        end_part = U.stk([gate for _ in range(C)])
     else:   # rinternal*
         asspos = j + cn.ass_end + 1
-        gate = np.full(n, NEG_INF)
-        gate[n - 1] = 0.0
         mid = (j < n - 1) & (j + cn.ass_end + ASS_MIDDLE < n) & \
             T.is_possible_rass(sp.rass_ok, asspos)
-        gate[mid] = 0.0
+        gate = xp.where((j == n - 1) | mid, 0.0, NEG_INF)
         if hints_on:
             padj = _site_adj(eng.ass_site_adj_m, asspos, lm["ass"])
-            gate = np.where(gate > NEG_INF, gate + padj, gate)
-        for c in range(C):
-            end_part[c] = gate
+            gate = xp.where(gate > NEG_INF, gate + padj, gate)
+        end_part = U.stk([gate for _ in range(C)])
     # separable part of the exonpart/CDS hint quotient
     # (gold._exon_part_quot with no exonpart/CDSpart/exon/CDS hints):
     # exon_len*(malus_ep + malus_cp) + malus_exon + malus_CDS.  The linear
@@ -880,7 +1042,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     # With such hints present the sparse HintCorr machinery replaces this.
     lm_lin = 0.0
     if hints_on and not getattr(eng, "_device_sparse_hints", False):
-        end_part = np.where(end_part > NEG_INF,
+        end_part = xp.where(end_part > NEG_INF,
                             end_part + lm["exon"] + lm["CDS"], end_part)
         lm_lin = lm["exonpart"] + lm["CDSpart"]
 
@@ -917,33 +1079,37 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         lv = ld[len_lo: len_hi + 1] + \
             np.arange(len_lo, len_hi + 1) * lm_lin
         variants.append(ConvVariant(g_id=gid, h_id=hid, len_lo=len_lo,
-                                    len_hi=len_hi, lenvec=_f32(lv)))
+                                    len_hi=len_hi, lenvec=_f32h(lv)))
 
     def initpat_fwd_c(c):
         ids = eng.kmer_ids_full(k)
-        out = np.full((3, n), k * log_nc)
-        sel = np.arange(ids.shape[0])
+        m_ids = ids.shape[0]
+        sel = np.arange(m_ids)
         ok = ids >= 0
-        lpls = eng.log_pls(c, k - 1)     # log gathered, not recomputed
-        idc = np.where(ok, ids, 0)
+        lpls = U.asarr(eng.log_pls(c, k - 1))   # log gathered, not recomputed
+        idc = xp.where(ok, ids, 0)
+        tail = xp.full((n - m_ids,), k * log_nc, dtype=U.ftype())
+        rows = []
         for phi in range(3):
             frame_ip = (phi + sel + k - 1) % 3
-            out[phi, : ids.shape[0]] = np.where(
-                ok, lpls[frame_ip, idc], k * log_nc)
-        return out
+            v = xp.where(ok, lpls[frame_ip, idc], k * log_nc)
+            rows.append(xp.concatenate([v, tail]))
+        return xp.stack(rows)
 
     def initpat_rev_c(c):
         rids = eng.rc_kmer_ids_full(k)
-        out = np.full((3, n), k * log_nc)
-        sel = np.arange(rids.shape[0])
+        m_ids = rids.shape[0]
+        sel = np.arange(m_ids)
         ok = rids >= 0
-        lpls = eng.log_pls(c, k - 1)
-        idc = np.where(ok, rids, 0)
+        lpls = U.asarr(eng.log_pls(c, k - 1))
+        idc = xp.where(ok, rids, 0)
+        tail = xp.full((n - m_ids,), k * log_nc, dtype=U.ftype())
+        rows = []
         for phi in range(3):
             frame_ip = (phi - sel) % 3
-            out[phi, : rids.shape[0]] = np.where(
-                ok, lpls[frame_ip, idc], k * log_nc)
-        return out
+            v = xp.where(ok, lpls[frame_ip, idc], k * log_nc)
+            rows.append(xp.concatenate([v, tail]))
+        return xp.stack(rows)
 
     def micro_track(m):
         """(C, n) log Pls[m] value of the pattern [right-m, right] at the
@@ -956,54 +1122,55 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             ids = eng.rc_kmer_ids_full(m + 1)
             frame = (frc + m) % 3
         ok = ids >= 0
-        idc = np.where(ok, ids, 0)
+        idc = xp.where(ok, ids, 0)
+        pstart = right - m
+        okr = (pstart >= 0) & (pstart <= n - (m + 1))
+        psc = np.clip(pstart, 0, max(n - (m + 1), 0))
         for c in range(C):
-            lplsm = eng.log_pls(c, m)[frame]
-            v2 = np.where(ok, lplsm[idc], (m + 1) * log_nc)
-            track = np.full(n, NEG_INF)
-            pstart = right - m
-            okr = (pstart >= 0) & (pstart <= n - (m + 1))
-            track[okr] = v2[pstart[okr]]
-            per_c.append(track + end_part[c])
-        return _f32(np.stack(per_c))
+            lplsm = U.asarr(eng.log_pls(c, m)[frame])
+            v2 = xp.where(ok, lplsm[idc], (m + 1) * log_nc)
+            track = xp.where(okr, v2[psc], NEG_INF)
+            per_c.append(track + U.val(end_part)[c])
+        return _f32(U.stk(per_c))
 
     rbG = ("G", g.begin_part_len + 1)
+    lin4 = U.LinRamp(LOG4, n)
     gid_begin = pool.add(f"G_begin_{begin_key}",
-                         lambda: _f32(begin_arr[:, None, :]), rb=rbG)
-    gid_over = pool.add(f"G_over_{begin_key}", lambda: _f32(
-        begin_arr[:, None, :] + (b * LOG4)[None, None, :]), rb=rbG)
-    hid_over = pool.add(f"H_over_{ro}_{state_tag}", lambda: _f32(
-        end_part + (-(right + 1) * LOG4)[None, :]), rb=("H",))
+                         lambda: _pre(begin_arr[:, None, :]), rb=rbG)
+    gid_over = pool.add(f"G_over_{begin_key}", lambda: _pre(
+        lin4.at(b) + U.asarr(begin_arr)[:, None, :]), rb=rbG)
+    hid_over = pool.add(f"H_over_{ro}_{state_tag}", lambda: _pre(
+        (-lin4.at(right + 1)) + U.val(end_part)), rb=("H",))
 
     if fwd:
         initpat_id = pool.add("initpat_fwd", lambda: _f32(
-            np.stack([initpat_fwd_c(c) for c in range(C)])))
-        initpat = pool.arrays[initpat_id]   # (C,3,n) f32
+            U.stk([initpat_fwd_c(c) for c in range(C)])))
+        initpat = pool.arrays[initpat_id]   # (C,3,n)
 
         if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
-            gid_main = pool.add(f"G_fwd_ini_{begin_key}", lambda: _f32(
-                initpat.astype(np.float64) + catb("init", b + k + initL)
+            gid_main = pool.add(f"G_fwd_ini_{begin_key}", lambda: _pre(
+                initpat + catb("init", b + k + initL)
                 - catb("init", b + k) - catb("emi", b + k + initL)
                 + begin_arr[:, None, :]), rb=rbG)
-            gid_ti = pool.add(f"G_fwd_initrunc_{begin_key}", lambda: _f32(
-                initpat.astype(np.float64) - catb("init", b + k)
+            gid_ti = pool.add(f"G_fwd_initrunc_{begin_key}", lambda: _pre(
+                initpat - catb("init", b + k)
                 + begin_arr[:, None, :]), rb=rbG)
         else:
-            gid_main = pool.add(f"G_fwd_int_{begin_key}", lambda: _f32(
-                initpat.astype(np.float64) - catb("emi", b + k)
+            gid_main = pool.add(f"G_fwd_int_{begin_key}", lambda: _pre(
+                initpat - catb("emi", b + k)
                 + begin_arr[:, None, :]), rb=rbG)
             gid_ti = None
 
         def h_et():
             bot = right - etL + 1
-            return _f32(catj("emi", bot) + catj("et", right + 1)
+            return _pre(catj("emi", bot) + catj("et", right + 1)
                         - catj("et", bot) + end_part)
 
         def h_e():
-            return _f32(catj("emi", right + 1) + end_part)
+            return _pre(catj("emi", right + 1) + end_part)
 
         def h_i():
-            return _f32(catj("init", right + 1) + end_part)
+            return _pre(catj("init", right + 1) + end_part)
 
         if t in (ST.initial0, ST.initial1, ST.initial2):
             hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et, rb=("H",))
@@ -1033,34 +1200,34 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             add_variant(gid_main, hid_e, k + 1, maxlen - m2len)
     else:
         initpat_rev_id = pool.add("initpat_rev", lambda: _f32(
-            np.stack([initpat_rev_c(c) for c in range(C)])))
+            U.stk([initpat_rev_c(c) for c in range(C)])))
         initpat_rev = pool.arrays[initpat_rev_id]
 
         binp = right - (k - 1)
 
         def ipb():
-            out = np.full((C, n), NEG_INF)
             ok = (binp >= 0) & (binp < n)
-            out[:, ok] = initpat_rev[
-                np.arange(C)[:, None], phi_j[None, ok], binp[None, ok]]
-            return out.astype(np.float64)
+            bc = np.clip(binp, 0, n - 1)
+            vals = initpat_rev[np.arange(C)[:, None], phi_j[None, :],
+                               bc[None, :]]
+            return U.where(ok[None, :], vals, NEG_INF)
 
-        gid_et = pool.add(f"G_rev_et_{begin_key}", lambda: _f32(
+        gid_et = pool.add(f"G_rev_et_{begin_key}", lambda: _pre(
             catb("et", b + etL) - catb("et", b) - catb("emi", b + etL)
             + begin_arr[:, None, :]), rb=rbG)
-        gid_plain = pool.add(f"G_rev_plain_{begin_key}", lambda: _f32(
+        gid_plain = pool.add(f"G_rev_plain_{begin_key}", lambda: _pre(
             -catb("emi", b) + begin_arr[:, None, :]), rb=rbG)
-        gid_i2 = pool.add(f"G_rev_init2_{begin_key}", lambda: _f32(
+        gid_i2 = pool.add(f"G_rev_init2_{begin_key}", lambda: _pre(
             -catb("init", b) + begin_arr[:, None, :]), rb=rbG)
 
         if t == ST.rinitial:
             def h_rini():
                 binit = binp - initL
-                return _f32(ipb() + catj("init", binp) - catj("init", binit)
+                return _pre(ipb() + catj("init", binp) - catj("init", binit)
                             + catj("emi", binit) + end_part)
 
             def h_rinit2():
-                return _f32(ipb() + catj("init", binp) + end_part)
+                return _pre(ipb() + catj("init", binp) + end_part)
 
             hid_main = pool.add(f"H_rini_{ro}_{state_tag}", h_rini, rb=("H",))
             hid_i2 = pool.add(f"H_rinit2_{ro}_{state_tag}", h_rinit2, rb=("H",))
@@ -1072,7 +1239,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
                         maxlen - m2len)
         else:   # rinternal*
             def h_rint():
-                return _f32(ipb() + catj("emi", binp) + end_part)
+                return _pre(ipb() + catj("emi", binp) + end_part)
 
             hid_main = pool.add(f"H_rint_{ro}_{state_tag}", h_rint, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)
@@ -1102,7 +1269,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
                                      n).astype(np.int64)
     smax = (j + g.base_offset) + g.inner_part_offset - cn.min_exon_length + 1
     smax = np.minimum(smax, j + g.begin_part_len)
-    smin = np.where(orf_left <= 0, 0, orf_left + g.inner_part_offset)
+    smin = xp.where(orf_left <= 0, 0, orf_left + g.inner_part_offset)
 
     ecs = ExonConvState(
         state=s, etype=int(t), bpl=g.begin_part_len, a_off=a_off,
@@ -1553,6 +1720,21 @@ class HintTables:
     #                               3=exonLT step (bob > pos)
 
 
+def _hint_tables_cached(eng, gpad: int) -> Dict[str, HintTables]:
+    """Per-engine cache of the hint tables (the pinned builder and the
+    final build_tracks assembly share one build).  A device prep engine
+    (jgold.JGold) overrides construction via build_hint_tables_device."""
+    cache = getattr(eng, "_ht_cache", None)
+    if cache is None:
+        cache = eng._ht_cache = {}
+    if gpad not in cache:
+        if hasattr(eng, "build_hint_tables_device"):
+            cache[gpad] = eng.build_hint_tables_device(gpad)
+        else:
+            cache[gpad] = _build_hint_tables(eng, gpad)
+    return cache[gpad]
+
+
 def _build_hint_tables(eng, gpad: int) -> Dict[str, HintTables]:
     """Build per-strand HintTables from the prepared SeqHints."""
     h = eng.hints
@@ -1630,7 +1812,7 @@ def _build_hint_tables(eng, gpad: int) -> Dict[str, HintTables]:
                     lists[x].append((f.start, float(np.log(f.bonus)), flag))
         K = max((len(l) for l in lists), default=0)
         cross_start = np.full((n, max(K, 1)), -(1 << 30), dtype=np.int32)
-        cross_w = np.zeros((n, max(K, 1)), dtype=np.float32)
+        cross_w = np.zeros((n, max(K, 1)), dtype=np.float64)
         cross_flag = np.zeros((n, max(K, 1)), dtype=np.int32)
         for x, l in enumerate(lists):
             for k, (st_, w_, fl_) in enumerate(l):
@@ -1661,7 +1843,7 @@ def _build_hint_tables(eng, gpad: int) -> Dict[str, HintTables]:
                 lists2[f.end].append((f.start, float(np.log(f.bonus)), 3))
         K2 = max((len(l) for l in lists2), default=0)
         ex_pos = np.full((n, max(K2, 1)), -(1 << 30), dtype=np.int32)
-        ex_w = np.zeros((n, max(K2, 1)), dtype=np.float32)
+        ex_w = np.zeros((n, max(K2, 1)), dtype=np.float64)
         ex_kind = np.zeros((n, max(K2, 1)), dtype=np.int32)
         for x, l in enumerate(lists2):
             for k, (p_, w_, kd_) in enumerate(l):

@@ -192,9 +192,29 @@ class GoldEngine:
             self.hints = SeqHints(feats, self.ext_cfg, codes)
             self._build_hint_tracks()
         self.stairs = gcmod.compute_stairs(codes, cn, self.decomp)
+        self._prepare_tracks(codes)
+
+        if self.utr is not None and self.utr_states:
+            from . import gold_utr
+            gold_utr.prepare_utr(self, codes)
+
+        if any(mc == "ncmodel" for mc in self.sg.model_class):
+            from . import gold_nc
+            gold_nc.prepare_nc(self, codes)
+
+    # ------------------------------------------------------------------
+    def _prepare_tracks(self, codes: np.ndarray) -> None:
+        """Sequence-content track building (ORF barriers, splice scores,
+        content cumsums, signal sensors).  xp-generic: the host gold engine
+        runs it in float64 numpy; the device prep twin (engine/jgold.JGold)
+        traces the SAME code with jax.numpy under jit so the tables
+        materialize on device from the 1-byte code array."""
+        from . import xputil as U
+        xp = U.A.xp
+        cn, n = self.cn, self.n
         self.orf = T.nearest_stop_arrays(codes, self.gcode)
-        hinted = None
-        if self.hints is not None:
+        hinted = getattr(self, "_hinted_override", None)
+        if hinted is None and self.hints is not None:
             h = self.hints
             hinted = (h.hinted_fD, h.hinted_rD, h.hinted_fA, h.hinted_rA)
         self.splice = T.build_splice_tracks(codes, self.inp, cn,
@@ -204,6 +224,11 @@ class GoldEngine:
         log_n_coding = float(np.log(cn.prob_n_in_coding))
         classes = list(range(len(self.inp.gc)))
         self.classes = classes
+
+        def cum0(x):
+            c = U.DD.cumsum_dd(xp.concatenate(
+                [xp.zeros(1, dtype=U.ftype()), x]))
+            return c if U.A.is_jax else c.hi
 
         # content tracks per class
         self.ig_track: Dict[int, np.ndarray] = {}
@@ -216,28 +241,26 @@ class GoldEngine:
             self.ig_track[c] = self._igenic_track(codes, c)
             if self.hints is not None:
                 self.ig_track[c] = self.ig_track[c] + self.ig_adjust
+            # kmer_lookup_log already yields LOG_QUARTER below k = k1-1
             itf = T.kmer_lookup_log(codes, self.inp.k + 1,
                                     self.inp.gc[c].emiprobs, T.LOG_QUARTER)
-            itf[: self.inp.k] = T.LOG_QUARTER
             itr = T.rc_kmer_lookup_log(codes, self.inp.k + 1,
                                        self.inp.gc[c].emiprobs, T.LOG_QUARTER)
             self.intron_f_nb = getattr(self, "intron_f_nb", {})
             self.intron_f_nb[c] = itf
             self.intron_f[c] = itf
             self.intron_r[c] = itr
-            cf = np.zeros(n + 1); cf[1:] = np.cumsum(itf)
-            cr = np.zeros(n + 1); cr[1:] = np.cumsum(itr)
-            self.cum_intron_f[c] = cf
-            self.cum_intron_r[c] = cr
+            self.cum_intron_f[c] = cum0(itf)
+            self.cum_intron_r[c] = cum0(itr)
 
             gcp = self.exp.gc[c]
             for name, table in (("emi", gcp.emiprobs),
                                 ("init", gcp.initemiprobs),
                                 ("et", gcp.etemiprobs)):
-                per_frame_f = np.stack([
+                per_frame_f = U.stk([
                     T.kmer_lookup_log(codes, k + 1, table[f], log_n_coding)
                     for f in range(3)])
-                per_frame_r = np.stack([
+                per_frame_r = U.stk([
                     T.rc_kmer_lookup_log(codes, k + 1, table[f], log_n_coding)
                     for f in range(3)])
                 self.cum_exon[(c, name, True)] = T.phase_cumsum(per_frame_f,
@@ -247,14 +270,6 @@ class GoldEngine:
 
         # signal tracks
         self._build_signal_tracks(codes)
-
-        if self.utr is not None and self.utr_states:
-            from . import gold_utr
-            gold_utr.prepare_utr(self, codes)
-
-        if any(mc == "ncmodel" for mc in self.sg.model_class):
-            from . import gold_nc
-            gold_nc.prepare_nc(self, codes)
 
     # ------------------------------------------------------------------
     def _build_hint_tracks(self) -> None:
@@ -326,37 +341,53 @@ class GoldEngine:
         cn = self.cn
         igp = self.igp
         k = igp.k
+        from . import xputil as U
+        xp = U.A.xp
         tied = (cn.tie_igenic_intron and self.inp.gc
                 and self.inp.gc[c].emiprobs.size > 0 and self.inp.k == k)
         table = self.inp.gc[c].emiprobs if tied else igp.gc[c].emiprobs
         out = T.kmer_lookup_log(codes, k + 1, table, T.LOG_QUARTER)
+        # j <= k prefix: conditional short-pattern probabilities, replicating
+        # the reference sibling-index arithmetic (xp-generic, static loop)
+        n_ = codes.shape[0]
         pls = igp.gc[c].pls
-        for j in range(min(k + 1, codes.shape[0])):
-            window = codes[: j + 1]
-            if (window == genetics.N).any():
-                out[j] = T.LOG_QUARTER
-                continue
-            idx = 0
-            for b in window:
-                idx = (idx << 2) | int(b)
+        head = []
+        for j in range(min(k + 1, n_)):
+            window = codes[: j + 1].astype(np.int64)
+            bad = (window == genetics.N).any()
+            idx = xp.zeros((), dtype=np.int64)
+            for bi in range(j + 1):
+                idx = (idx << 2) | xp.where(window[bi] == genetics.N, 0,
+                                            window[bi])
+            vals = U.asarr(pls[j])
+            sz = pls[j].size
             denom_base = idx // 4
-            vals = pls[j]
-            denom = (vals[denom_base] + vals[min(denom_base + 1, vals.size - 1)]
-                     + vals[min(denom_base + 2, vals.size - 1)]
-                     + vals[min(denom_base + 3, vals.size - 1)])
-            out[j] = np.log(vals[idx] / denom) if denom > 0 and vals[idx] > 0 \
-                else T.LOG_QUARTER
+            denom = (vals[denom_base]
+                     + vals[xp.minimum(denom_base + 1, sz - 1)]
+                     + vals[xp.minimum(denom_base + 2, sz - 1)]
+                     + vals[xp.minimum(denom_base + 3, sz - 1)])
+            vi = vals[idx]
+            good = (~bad) & (denom > 0) & (vi > 0)
+            val = xp.where(good,
+                           T._safe_log(xp.where(good, vi, 1.0) /
+                                       xp.where(denom > 0, denom, 1.0)),
+                           T.LOG_QUARTER)
+            head.append(xp.reshape(val, (1,)))
+        if head:
+            out = xp.concatenate([xp.concatenate(head),
+                                  out[len(head):]])
         return out
 
     # ------------------------------------------------------------------
     def _build_signal_tracks(self, codes: np.ndarray) -> None:
+        from . import xputil as U
+        xp = U.A.xp
         cn, n = self.cn, self.n
         gcode = self.gcode
         cds = codes
 
         # stop-codon endPart for terminal/singleG ending at DP base j:
         # stop codon at stppos = j-2 (reference exonmodel.cc:1276-1311)
-        stop_log = np.full(n, NEG_INF)
         c64 = cds.astype(np.int64)
         if n >= 3:
             i0, i1, i2 = c64[:-2], c64[1:-1], c64[2:]
@@ -364,26 +395,32 @@ class GoldEngine:
             taa = (i0 == Tt) & (i1 == A) & (i2 == A)
             tag = (i0 == Tt) & (i1 == A) & (i2 == G)
             tga = (i0 == Tt) & (i1 == G) & (i2 == A)
-            per_pos = np.full(n - 2, NEG_INF)
-            per_pos[taa] = np.log(cn.ochreprob)
-            per_pos[tag] = np.log(cn.amberprob)
-            per_pos[tga] = np.log(cn.opalprob)
+            per_pos = xp.where(
+                taa, np.log(cn.ochreprob),
+                xp.where(tag, np.log(cn.amberprob),
+                         xp.where(tga, np.log(cn.opalprob), NEG_INF)))
             # stppos must satisfy 0 <= stppos <= n-3
             self.stop_at_log = per_pos           # index = stppos
-            stop_log[2:] = per_pos[: n - 2]      # j -> stppos = j-2
+            stop_log = xp.concatenate(
+                [xp.full(2, NEG_INF, dtype=U.ftype()), per_pos[: n - 2]])
         else:
             self.stop_at_log = np.full(max(n - 2, 0), NEG_INF)
+            stop_log = np.full(n, NEG_INF)
         self.end_stop_fwd = stop_log
 
         # reverse stop codon beginPart (rsingleG/rterminal) at beginOfBioExon
-        rstop = np.full(n, NEG_INF)
         if n >= 3:
             tta = (i0 == Tt) & (i1 == Tt) & (i2 == A)
             cta = (i0 == C) & (i1 == Tt) & (i2 == A)
             tca = (i0 == Tt) & (i1 == C) & (i2 == A)
-            rstop[: n - 2][tta] = np.log(cn.ochreprob)
-            rstop[: n - 2][cta] = np.log(cn.amberprob)
-            rstop[: n - 2][tca] = np.log(cn.opalprob)
+            rhead = xp.where(
+                tta, np.log(cn.ochreprob),
+                xp.where(cta, np.log(cn.amberprob),
+                         xp.where(tca, np.log(cn.opalprob), NEG_INF)))
+            rstop = xp.concatenate(
+                [rhead, xp.full(2, NEG_INF, dtype=U.ftype())])
+        else:
+            rstop = np.full(n, NEG_INF)
         self.begin_rstop = rstop
 
         # start codons
@@ -394,22 +431,26 @@ class GoldEngine:
                 start_prob[pn] = p
         else:
             start_prob[14] = 1.0   # atg
-        start_fwd = np.full(n, NEG_INF)     # atg starting at pos
-        start_rev = np.full(n, NEG_INF)     # 'cat' (reverse atg) starting at pos
+        start_prob_t = U.asarr(start_prob)
         if n >= 3:
             cod = (c64[:-2] * 16 + c64[1:-1] * 4 + c64[2:])
             valid = (c64[:-2] != genetics.N) & (c64[1:-1] != genetics.N) & \
                 (c64[2:] != genetics.N)
-            with np.errstate(divide="ignore"):
-                start_fwd[: n - 2] = np.where(
-                    valid, T._safe_log(start_prob[np.where(valid, cod, 0)]),
-                    NEG_INF)
+            sf = xp.where(valid,
+                          T._safe_log(start_prob_t[xp.where(valid, cod, 0)]),
+                          NEG_INF)
+            tail2 = xp.full(2, NEG_INF, dtype=U.ftype())
+            start_fwd = xp.concatenate([sf, tail2])
             # reverse: codon read as rc of [pos, pos+2]
-            comp = genetics.COMPLEMENT[cds].astype(np.int64)
+            comp = U.asarr(genetics.COMPLEMENT)[cds].astype(np.int64)
             rcod = comp[2:] * 16 + comp[1:-1] * 4 + comp[:-2]
-            start_rev[: n - 2] = np.where(
-                valid, T._safe_log(start_prob[np.where(valid, rcod, 0)]),
-                NEG_INF)
+            sr = xp.where(valid,
+                          T._safe_log(start_prob_t[xp.where(valid, rcod, 0)]),
+                          NEG_INF)
+            start_rev = xp.concatenate([sr, tail2])
+        else:
+            start_fwd = np.full(n, NEG_INF)     # atg starting at pos
+            start_rev = np.full(n, NEG_INF)     # 'cat' starting at pos
 
         # TIS begin (initial/singleG): beginOfBioExon = bob needs start codon
         # at bob plus the upstream translation-initiation motif
@@ -422,35 +463,38 @@ class GoldEngine:
             mf = T.motif_score_fwd(cds, motif)
             mr = T.motif_score_rc(cds, motif)
             bob = np.arange(n)
-            val = start_fwd.copy()
             tis_start = bob - tw
             use_motif = tis_start > motif.k
-            motif_term = np.where(
+            motif_term = xp.where(
                 use_motif, mf[np.clip(tis_start, 0, n - 1)],
                 bob * T.LOG_QUARTER)    # pow(.25, beginOfStart-3), bOS-3=bob
-            val = val + motif_term
-            val[bob >= n - 2] = NEG_INF
+            val = start_fwd + motif_term
+            val = xp.where(bob >= n - 2, NEG_INF, val)
             tb = self.exp.gc[c].tis_bin
             if tb.nbins > 0:
                 ok = val > NEG_INF
-                val[ok] = np.log(tb.avprobs[tb.bin_of(np.exp(val[ok]))])
+                binned = T._safe_log(tb.factor(xp.exp(xp.where(ok, val,
+                                                               0.0))))
+                val = xp.where(ok, binned, val)
             self.tis_begin_fwd[c] = val
 
             # reverse TIS endPart at DP base j: startpos = j - tw - 3 + 1
             j = np.arange(n)
             sp = j - tw - STARTCODON_LEN + 1
             ok = sp >= 0
-            val = np.where(ok, start_rev[np.clip(sp, 0, n - 1)], NEG_INF)
+            val = xp.where(ok, start_rev[np.clip(sp, 0, n - 1)], NEG_INF)
             # motif right after the start codon, in rc orientation
             mstart = sp + STARTCODON_LEN
             in_range = mstart + tw - 1 + motif.k < n
-            motif_term = np.where(
+            motif_term = xp.where(
                 in_range, mr[np.clip(mstart, 0, n - 1)],
                 (n - mstart) * T.LOG_QUARTER)
             val = val + motif_term
             if tb.nbins > 0:
                 okv = val > NEG_INF
-                val[okv] = np.log(tb.avprobs[tb.bin_of(np.exp(val[okv]))])
+                binned = T._safe_log(tb.factor(xp.exp(xp.where(okv, val,
+                                                               0.0))))
+                val = xp.where(okv, binned, val)
             self.tis_end_rev[c] = val
 
         self.start_fwd_log = start_fwd
@@ -556,6 +600,7 @@ class GoldEngine:
         (igenic) state with probability 1."""
         synch = np.full(self.S, NEG_INF)
         synch[self.sg.type_to_index[ST.igenic]] = 0.0
+        self.boundary_flags = (bool(init_synch), bool(term_synch))
         with np.errstate(divide="ignore"):
             self.log_init = synch if init_synch else np.log(self.sg.init_probs)
             self.log_term = synch if term_synch else np.log(self.sg.term_probs)

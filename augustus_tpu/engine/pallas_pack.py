@@ -39,11 +39,12 @@ engine's; see tests/test_pallas.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from .device import DPTracks, F32_NEG
+from . import xputil as U
 
 W_PAD = 3200          # back-window: >= CONV_CAP + margins (scan uses 3136)
 BLK = 2048            # positions per grid block (VMEM budget)
@@ -161,35 +162,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_tracks(tr: DPTracks):
-    """(static, arrays): kernel inputs from DPTracks.
+def compute_cls_blk(stairs: np.ndarray, n: int):
+    """Per-block class runs from the HOST stairs array.
 
-    Raises PallasFallback if the chunk violates fast-path preconditions
-    (GC class changing inside a block's consumption span).
+    cls_blk row i = [c0, sw1, c1, sw2, c2]: block i starts in class c0,
+    switches to c1 at block-local position sw1 and to c2 at sw2 (sw = BLK
+    and repeated class when unused).  The kernel re-DMAs the G/cum rows
+    at each switch, so the GC class may change mid-block (reference
+    switches parameter sets per position, src/namgene.cc:244-247).  More
+    than 2 switches per 2048-block would need class runs shorter than
+    ~683bp — fall back (the XLA scan handles any pattern).
     """
-    from .scan import split_tracks, END_PAD
-    st, arr = split_tracks(tr)       # reuse the consolidated scalar tables
-    n, S, C = st.n, tr.S, st.C
-    NL = tr.n_lanes
-    if S > 64 or NL > 64:
-        # UTR-on track sets exceed the 64-state/64-lane kernel layout;
-        # predict._decode falls back to the XLA scan engine
-        raise PallasFallback(f"track shape S={S} NL={NL} exceeds 64-lane kernel")
     n_blocks = -(-n // BLK)
-    n_pad = n_blocks * BLK
-
-    stab = arr["scalar_table"]       # (n, NSC) f32, class baked in
-    itab = arr["int_table"]          # (n, NIC) int32
-    cls = itab[:, st.cls_col].astype(np.int64)
-
-    # ---- per-block class runs -------------------------------------------
-    # cls_blk row i = [c0, sw1, c1, sw2, c2]: block i starts in class c0,
-    # switches to c1 at block-local position sw1 and to c2 at sw2 (sw = BLK
-    # and repeated class when unused).  The kernel re-DMAs the G/cum rows
-    # at each switch, so the GC class may change mid-block (reference
-    # switches parameter sets per position, src/namgene.cc:244-247).  More
-    # than 2 switches per 2048-block would need class runs shorter than
-    # ~683bp — fall back (the XLA scan handles any pattern).
+    cls = np.asarray(stairs[:n]).astype(np.int64)
     cls_blk = np.zeros((max(n_blocks, 1), 5), dtype=np.int32)
     for i in range(n_blocks):
         span = cls[i * BLK: min(n, (i + 1) * BLK)]
@@ -206,6 +191,35 @@ def pack_tracks(tr: DPTracks):
         sw2 = sw[1] if len(sw) >= 2 else BLK
         c2 = int(span[sw2]) if len(sw) >= 2 else c1
         cls_blk[i] = (c0, sw1, c1, sw2, c2)
+    return cls_blk
+
+
+def pack_tracks(tr: DPTracks, cls_blk: Optional[np.ndarray] = None):
+    """(static, arrays): kernel inputs from DPTracks.
+
+    Raises PallasFallback if the chunk violates fast-path preconditions
+    (GC class changing inside a block's consumption span).
+
+    xp-generic: the device prep path traces this under jit (per-base
+    arrays are tracers); it must then pass `cls_blk` precomputed on the
+    host (compute_cls_blk from the np stairs).
+    """
+    from .scan import split_tracks, END_PAD
+    xp = U.A.xp
+    st, arr = split_tracks(tr)       # reuse the consolidated scalar tables
+    n, S, C = st.n, tr.S, st.C
+    NL = tr.n_lanes
+    if S > 64 or NL > 64:
+        # UTR-on track sets exceed the 64-state/64-lane kernel layout;
+        # predict._decode falls back to the XLA scan engine
+        raise PallasFallback(f"track shape S={S} NL={NL} exceeds 64-lane kernel")
+    n_blocks = -(-n // BLK)
+    n_pad = n_blocks * BLK
+
+    stab = arr["scalar_table"]       # (n, NSC) f32, class baked in
+    itab = arr["int_table"]          # (n, NIC) int32
+    if cls_blk is None:
+        cls_blk = compute_cls_blk(tr.stairs, n)
 
     # ---- lane permutation: pinned lanes first ---------------------------
     pin_lanes = [p.lane for p in st.pinned]
@@ -235,16 +249,17 @@ def pack_tracks(tr: DPTracks):
     xtra_i: List[np.ndarray] = []
 
     def xscol(vals) -> int:
-        xtra_s.append(np.asarray(vals, dtype=np.float32))
+        xtra_s.append(xp.asarray(vals).astype(np.float32))
         return stab.shape[1] + len(xtra_s) - 1
 
     def xicol(vals) -> int:
-        xtra_i.append(np.asarray(vals, dtype=np.int32))
+        xtra_i.append(xp.asarray(vals).astype(np.int32))
         return itab.shape[1] + len(xtra_i) - 1
 
     pos = np.arange(n)
     GATE_LANE, CLS_LANE = 17, 16
     m_ip_misc[CLS_LANE] = st.cls_col
+    xp = U.A.xp
 
     # ---- chain ----------------------------------------------------------
     chain_states = []
@@ -259,22 +274,22 @@ def pack_tracks(tr: DPTracks):
         by_key.setdefault(key, []).append(fs)
     sel_list: List[np.ndarray] = []
     groups: List[PKFixedGroup] = []
-    gate_bits = np.zeros((n_pad,), dtype=np.int32)
     # splice-signal emissions feed the bare lanes consumed by equalD
     # (fwd: longdss, rev: rlongass): a finite lane value at j-D requires a
     # finite fixed-state emission there (necessary condition)
-    dss_any = np.zeros(n, dtype=bool)
+    dss_any = xp.zeros(n, dtype=bool)
     for fs in st.fixed:
-        dss_any |= stab[:, fs.emi_col] > float(NEG) / 2
+        dss_any = dss_any | (stab[:, fs.emi_col] > float(NEG) / 2)
+    gb = xp.zeros(n, dtype=np.int32)
     for gi, (key, fss) in enumerate(sorted(by_key.items())):
         jump, kind = key
         selA = np.full((64, 64), NEG, dtype=np.float32)
         selB = np.full((64, 64), NEG, dtype=np.float32)
-        any_emi = np.zeros(n, dtype=bool)
+        any_emi = xp.zeros(n, dtype=bool)
         for fs in fss:
             s = fs.state
             m_sp_state[s] = fs.emi_col
-            any_emi |= stab[:, fs.emi_col] > float(NEG) / 2
+            any_emi = any_emi | (stab[:, fs.emi_col] > float(NEG) / 2)
             selA[lane_of[fs.lane], s] = 0.0
             if fs.kind in (1, 2):
                 m_sp_geo[s] = fs.extra_col
@@ -289,18 +304,20 @@ def pack_tracks(tr: DPTracks):
         if kind == 1:
             # lane source is a bare dss value at j - jump; at j == jump the
             # lane holds the initial value l0 instead (scan lanes0)
-            src = np.zeros(n, dtype=bool)
             if jump < n:       # short pieces: jump may exceed the piece
-                src[jump:] = dss_any[: n - jump]
-            src[min(jump, n - 1):  min(jump, n - 1) + 1] = True
+                src = xp.concatenate([np.zeros(jump, dtype=bool),
+                                      dss_any[: n - jump]])
+            else:
+                src = xp.zeros(n, dtype=bool)
+            src = src | (pos == min(jump, n - 1))
             gate = any_emi & src & (pos >= jump)
         else:
             gate = any_emi & (pos >= jump)
-        gate_bits[:n] |= gate.astype(np.int32) << gi
+        gb = gb | (gate.astype(np.int32) << gi)
         groups.append(PKFixedGroup(jump=jump, kind=kind, sel_idx=sel_idx,
                                    selb_idx=selb_idx, gate_bit=gi,
                                    states=tuple(fs.state for fs in fss)))
-    m_ip_misc[GATE_LANE] = xicol(gate_bits[:n])
+    m_ip_misc[GATE_LANE] = xicol(gb)
 
     # ---- lenvec / fsel-mask pack ----------------------------------------
     lv_parts: List[np.ndarray] = []
@@ -320,8 +337,8 @@ def pack_tracks(tr: DPTracks):
     NCU = cum_all.shape[0]
     GPAD = G_all.shape[-1] - n - END_PAD
     NGR = _round_up(NG * 3 + NCU, 8)
-    G_src = np.ascontiguousarray(G_all[:, :, :, GPAD: GPAD + n])
-    cum_src = np.ascontiguousarray(
+    G_src = xp.asarray(G_all[:, :, :, GPAD: GPAD + n])
+    cum_src = xp.asarray(
         cum_all[:, :, GPAD + 1: GPAD + 1 + n])         # cum1[p] = cum[p+1]
 
     # ---- lessD ------------------------------------------------------------
@@ -330,36 +347,43 @@ def pack_tracks(tr: DPTracks):
     bv_all = arr.get("lessd_bvalid_all")
     bs_all = arr.get("lessd_bstop_all")
     L = len(st.lessd)
-    bv_src = np.zeros((L, n), dtype=np.int8)
-    bs_src = np.zeros((L, n), dtype=np.int8)
+    bv_rows: List = []
+    bs_rows: List = []
     for li, lsd in enumerate(st.lessd):
         pad_scan = bv_all.shape[1] - n - END_PAD
-        bv_src[li] = bv_all[li, pad_scan: pad_scan + n]
-        bs_src[li] = bs_all[li, pad_scan: pad_scan + n]
-        off = lv_add(arr[lsd.lenvec_key])          # already reversed
+        bv_rows.append(bv_all[li, pad_scan: pad_scan + n])
+        bs_rows.append(bs_all[li, pad_scan: pad_scan + n])
+        off = lv_add(np.asarray(arr[lsd.lenvec_key]))  # already reversed
         # fold j_gate into psi: all scores NEG when the end is gated off
         psi = stab[:, lsd.psi_col]
         jgate = itab[:, lsd.jgate_col] != 0
-        m_sp_state[lsd.state] = xscol(np.where(jgate, psi, NEG))
+        m_sp_state[lsd.state] = xscol(xp.where(jgate, psi, NEG))
         lessd_list.append(PKLessD(
             state=lsd.state, lane=lane_of[lsd.lane], window=lsd.window,
             cum_row=NG * 3 + lsd.cum_id, valid_row=2 * li,
             stop_row=2 * li + 1, lv_off=off, jsel_lane=8 + li))
         m_ip_misc[8 + li] = lsd.jsel_col
+    bv_src = xp.stack(bv_rows) if bv_rows else np.zeros((0, n), np.int8)
+    bs_src = xp.stack(bs_rows) if bs_rows else np.zeros((0, n), np.int8)
 
     # ---- pinned ------------------------------------------------------------
     # the pinned-history ring must cover the furthest back-reference
     # j - eop actually used (bounded by leftmostExonBegin's max-exon clamp,
     # engine/tracks.py:leftmost_exon_begin)
     pinned_list: List[PKPinned] = []
+    # static back-reach bound: eop = b - bpl - 1 with b >= j - max_allowed
+    # (T.leftmost_exon_begin clamp), so j - eop <= max_allowed + bpl + 1
+    cn_ = tr.gold.cn
+    from ..constants import ASS_MIDDLE, DSS_MIDDLE
+    max_allowed = (cn_.max_exon_len - cn_.ass_upwindow_size - cn_.ass_start
+                   - ASS_MIDDLE - DSS_MIDDLE - cn_.dss_start)
     reach = W_PAD
     for pi, psd in enumerate(st.pinned):
         m_sp_state[psd.state] = psd.score_col
-        eopv = itab[:, psd.eop_col]
         m_ip_misc[pi] = psd.eop_col
-        live = stab[:, psd.score_col] > float(NEG) / 2
-        if live.any():
-            reach = max(reach, int((np.arange(n) - eopv)[live].max()))
+        g_ = tr.gold.geom[
+            tr.gold.sg.state_types[psd.state]]
+        reach = max(reach, max_allowed + g_.begin_part_len + 64)
         new_lane = lane_of[psd.lane]
         assert new_lane < 8
         pinned_list.append(PKPinned(state=psd.state, lane=new_lane,
@@ -419,7 +443,7 @@ def pack_tracks(tr: DPTracks):
     NHW = hw_all.shape[0]
     NHWp = _round_up(max(NHW, 1), 8)
     gp_scan = hw_all.shape[1] - n - END_PAD
-    hw_src = np.ascontiguousarray(hw_all[:, gp_scan: gp_scan + n]) \
+    hw_src = xp.asarray(hw_all[:, gp_scan: gp_scan + n]) \
         if NHW else np.zeros((0, n), np.float32)
 
     conv_list: List[PKConv] = []
@@ -493,9 +517,9 @@ def pack_tracks(tr: DPTracks):
 
     arrays = {
         "stab": stab, "itab": itab,
-        "xstab": (np.stack(xtra_s, axis=1) if xtra_s
+        "xstab": (xp.stack(xtra_s, axis=1) if xtra_s
                   else np.zeros((n, 0), np.float32)),
-        "xitab": (np.stack(xtra_i, axis=1) if xtra_i
+        "xitab": (xp.stack(xtra_i, axis=1) if xtra_i
                   else np.zeros((n, 0), np.int32)),
         "m_sp_state": m_sp_state, "m_sp_geo": m_sp_geo,
         "m_sp_convH": m_sp_convH, "m_ip_conv": m_ip_conv,

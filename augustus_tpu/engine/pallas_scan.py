@@ -574,15 +574,10 @@ def make_kernel(st: PKStatic):
 _PL_CACHE: Dict[tuple, object] = {}
 
 
-def make_pallas_fn(st: PKStatic, interpret: bool = False):
-    """Jitted whole-DP callable for one PKStatic config (cached).
-
-    The kernel closure, pallas_call and jit wrapper are built once per
-    static config: re-tracing/lowering/compiling per run used to cost more
-    than the DP itself (trace+lower alone is ~12 s at 100 kb)."""
-    fn = _PL_CACHE.get((st, interpret))
-    if fn is not None:
-        return fn
+def build_call(st: PKStatic, interpret: bool = False):
+    """The raw pallas_call for one PKStatic (no jit wrapper): shared by
+    make_pallas_fn and the fused device-prep engine (pallas_prep), which
+    invokes it inside its own jit."""
     kernel = make_kernel(st)
 
     NHWs = max(st.NHW, 8)
@@ -625,7 +620,7 @@ def make_pallas_fn(st: PKStatic, interpret: bool = False):
             pltpu.SemaphoreType.DMA((12,)),
         ],
     )
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((st.n_pad, 128), jnp.int32),
@@ -635,6 +630,18 @@ def make_pallas_fn(st: PKStatic, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
+
+
+def make_pallas_fn(st: PKStatic, interpret: bool = False):
+    """Jitted whole-DP callable for one PKStatic config (cached).
+
+    The kernel closure, pallas_call and jit wrapper are built once per
+    static config: re-tracing/lowering/compiling per run used to cost more
+    than the DP itself (trace+lower alone is ~12 s at 100 kb)."""
+    fn = _PL_CACHE.get((st, interpret))
+    if fn is not None:
+        return fn
+    call = build_call(st, interpret)
 
     def _run(a):
         from .pallas_pack import expand_arrays

@@ -143,7 +143,12 @@ class ScanStatic:
 
 
 def split_tracks(tr: DPTracks):
-    """(static, arrays) decomposition with scalar-table consolidation."""
+    """(static, arrays) decomposition with scalar-table consolidation.
+
+    xp-generic: under the device prep path (engine/jgold) the per-base
+    arrays are jax tracers and the consolidation runs inside the jit."""
+    from . import xputil as U
+    xp = U.A.xp
     GPAD = tr.gpad
     PAD = GPAD
     C = tr.n_classes
@@ -159,11 +164,11 @@ def split_tracks(tr: DPTracks):
     int_cols: List[np.ndarray] = []
 
     def scol(values: np.ndarray) -> int:
-        scal_cols.append(np.asarray(values, dtype=np.float32))
+        scal_cols.append(xp.asarray(values).astype(np.float32))
         return len(scal_cols) - 1
 
     def icol(values: np.ndarray) -> int:
-        int_cols.append(np.asarray(values, dtype=np.int32))
+        int_cols.append(xp.asarray(values).astype(np.int32))
         return len(int_cols) - 1
 
     cls_col = icol(cls)
@@ -181,9 +186,9 @@ def split_tracks(tr: DPTracks):
     for fs in tr.fixed:
         extra = -1
         if fs.kind == 1:
-            extra = scol(tr.log_1mpsi[cls])
+            extra = scol(xp.asarray(tr.log_1mpsi)[cls])
         elif fs.kind == 2:
-            extra = scol(tr.log_geo_ass[cls, fs.state])
+            extra = scol(xp.asarray(tr.log_geo_ass)[cls, fs.state])
         fixed_s.append(FixedStatic(fs.state, fs.jump, fs.kind, fs.lane,
                                    scol(fs.emi[cls, pos]), extra))
 
@@ -202,25 +207,25 @@ def split_tracks(tr: DPTracks):
     def pad_last(arr, fill=F32_NEG):
         front = arr.shape[:-1] + (GPAD,)
         back = arr.shape[:-1] + (END_PAD,)
-        return np.concatenate(
-            [np.full(front, fill, dtype=arr.dtype), arr,
-             np.full(back, fill, dtype=arr.dtype)], axis=-1)
+        return xp.concatenate(
+            [xp.full(front, fill, dtype=arr.dtype), arr,
+             xp.full(back, fill, dtype=arr.dtype)], axis=-1)
 
     ext_len = GPAD + n + END_PAD
     G_list = []
     for pid in g_ids:
         a = tr.pool[pid]
         if a.shape[1] == 1:
-            a = np.broadcast_to(a, (a.shape[0], 3, a.shape[2]))
+            a = xp.broadcast_to(a, (a.shape[0], 3, a.shape[2]))
         if a.shape[0] == 1:
-            a = np.broadcast_to(a, (C,) + a.shape[1:])
+            a = xp.broadcast_to(a, (C,) + a.shape[1:])
         if a.shape[-1] == ext_len:    # already on the extended begin domain
-            G_list.append(np.ascontiguousarray(a))
+            G_list.append(xp.asarray(a))
         else:
-            G_list.append(pad_last(np.ascontiguousarray(a)))
-    arrays["G_all"] = np.stack(G_list) if G_list else \
+            G_list.append(pad_last(xp.asarray(a)))
+    arrays["G_all"] = xp.stack(G_list) if G_list else \
         np.zeros((0, C, 3, GPAD + n + END_PAD), np.float32)
-    arrays["cum_all"] = np.stack(
+    arrays["cum_all"] = xp.stack(
         [pad_last(tr.pool[pid]) for pid in cum_ids]) if cum_ids else \
         np.zeros((0, C, GPAD + n + 1 + END_PAD), np.float32)
 
@@ -241,23 +246,24 @@ def split_tracks(tr: DPTracks):
     lessd_s = []
     for li, ls in enumerate(tr.lessd):
         cum = tr.pool[ls.cum_id]      # (C, n+1)
-        cumj = cum[cls, pos + 1]
+        cumj = cum[cls, pos + 1]      # (advanced indexing, xp-safe)
         lessd_s.append(LessDStatic(
             state=ls.state, lane=ls.lane, window=ls.window,
             cum_id=cum_map[ls.cum_id], cumj_col=scol(cumj),
-            psi_col=scol(tr.log_psi[cls]),
+            psi_col=scol(xp.asarray(tr.log_psi)[cls]),
             jsel_col=icol(ls.j_stopsel), jgate_col=icol(ls.j_gate),
             lenvec_key=f"lessd{li}_lenvec"))
         arrays[f"lessd{li}_lenvec"] = ls.lenvec[::-1].copy()
     if tr.lessd:
-        arrays["lessd_bvalid_all"] = np.stack([
-            np.concatenate([np.zeros(PAD, np.int8),
+        arrays["lessd_bvalid_all"] = xp.stack([
+            xp.concatenate([xp.zeros(PAD, np.int8),
                             ls.b_valid.astype(np.int8),
-                            np.zeros(END_PAD, np.int8)])
+                            xp.zeros(END_PAD, np.int8)])
             for ls in tr.lessd])
-        arrays["lessd_bstop_all"] = np.stack([
-            np.concatenate([np.zeros(PAD, np.int8), ls.b_stopflag,
-                            np.zeros(END_PAD, np.int8)])
+        arrays["lessd_bstop_all"] = xp.stack([
+            xp.concatenate([xp.zeros(PAD, np.int8),
+                            xp.asarray(ls.b_stopflag).astype(np.int8),
+                            xp.zeros(END_PAD, np.int8)])
             for ls in tr.lessd])
 
     # ---- pinned --------------------------------------------------------
@@ -385,9 +391,9 @@ def split_tracks(tr: DPTracks):
                           (phi.astype(np.int32) << 1)),
             variants=tuple(vs), hint=hint_static(ecs)))
 
-    arrays["scalar_table"] = np.stack(scal_cols, axis=1)    # (n, NSC)
-    arrays["int_table"] = np.stack(int_cols, axis=1)        # (n, NIC)
-    arrays["hw_all"] = np.stack(hw_rows) if hw_rows else \
+    arrays["scalar_table"] = xp.stack(scal_cols, axis=1)    # (n, NSC)
+    arrays["int_table"] = xp.stack(int_cols, axis=1)        # (n, NIC)
+    arrays["hw_all"] = xp.stack(hw_rows) if hw_rows else \
         np.zeros((0, GPAD + n + END_PAD), np.float32)
     arrays["n_true"] = np.int32(n)      # overwritten by bucketed callers
 

@@ -26,12 +26,21 @@ from .. import genetics
 from ..constants import Constants, ASS_MIDDLE, DSS_MIDDLE, STARTCODON_LEN, STOPCODON_LEN
 from ..model.pbl import (ExonParams, IgenicParams, IntronParams, Motif,
                          BinnedProbs)
+from .xputil import A, DD, asarr, ftype, stk
 
 NEG_INF = float("-inf")
 LOG_QUARTER = float(np.log(0.25))
 
 
 def _safe_log(x: np.ndarray) -> np.ndarray:
+    if A.is_jax:
+        return A.xp.log(x)
+    with np.errstate(divide="ignore"):
+        return np.log(x)
+
+
+def _safe_log_np(x: np.ndarray) -> np.ndarray:
+    """Always-host log of a model-constant table."""
     with np.errstate(divide="ignore"):
         return np.log(x)
 
@@ -40,48 +49,57 @@ def kmer_lookup_log(codes: np.ndarray, k1: int, table: np.ndarray,
                     invalid_log: float) -> np.ndarray:
     """log table[pattern ending at j] for j in [k1-1, n-1]; positions j<k1-1
     and windows containing N get `invalid_log`.  Returns full length n."""
+    xp = A.xp
     n = codes.shape[0]
-    out = np.full(n, invalid_log)
+    if n < k1:
+        return np.full(n, invalid_log)
     ids = genetics.kmer_ids(codes, k1)          # pattern starting at i
-    if ids.shape[0] == 0:
-        return out
     valid = ids >= 0
-    logs = np.where(valid, _safe_log(table[np.where(valid, ids, 0)]),
+    logs = xp.where(valid, _safe_log(asarr(table)[xp.where(valid, ids, 0)]),
                     invalid_log)
-    out[k1 - 1:] = logs                          # ends at j = i + k1 - 1
-    return out
+    head = xp.full((k1 - 1,), invalid_log, dtype=ftype())
+    return xp.concatenate([head, logs])          # ends at j = i + k1 - 1
 
 
 def rc_kmer_lookup_log(codes: np.ndarray, k1: int, table: np.ndarray,
                        invalid_log: float) -> np.ndarray:
     """log table[rc pattern starting at j] for j in [0, n-k1]; tail positions
     (window crossing the end) and N windows get `invalid_log`."""
+    xp = A.xp
     n = codes.shape[0]
-    out = np.full(n, invalid_log)
+    if n < k1:
+        return np.full(n, invalid_log)
     ids = genetics.rc_kmer_ids(codes, k1)
-    if ids.shape[0] == 0:
-        return out
     valid = ids >= 0
-    out[: n - k1 + 1] = np.where(valid, _safe_log(table[np.where(valid, ids, 0)]),
-                                 invalid_log)
-    return out
+    logs = xp.where(valid, _safe_log(asarr(table)[xp.where(valid, ids, 0)]),
+                    invalid_log)
+    tail = xp.full((k1 - 1,), invalid_log, dtype=ftype())
+    return xp.concatenate([logs, tail])
 
 
-def phase_cumsum(per_frame: np.ndarray, reverse: bool) -> np.ndarray:
+def phase_cumsum(per_frame: np.ndarray, reverse: bool):
     """Build prefix sums for the 3 frame phases.
 
     per_frame: (3, n) log emission of position j if its frame were f.
     Returns cum: (3, n+1) with cum[phi, j+1] = sum_{i<=j} per_frame[frame(phi,i), i]
     where frame(phi,i) = (phi+i)%3 forward, (phi-i)%3 reverse.
+
+    Host: plain float64 ndarray.  Device tracing: a DD double-float32 pair
+    (the raw cums reach O(1.4e6) at megabase scale; f32 alone would rebase
+    with ~0.06 absolute noise — see xputil.DD).
     """
+    xp = A.xp
     _, n = per_frame.shape
     pos = np.arange(n)
-    cum = np.zeros((3, n + 1))
+    rows = []
+    z = xp.zeros((1,), dtype=ftype())
     for phi in range(3):
         f = (phi + pos) % 3 if not reverse else (phi - pos) % 3
         sel = per_frame[f, pos]
-        cum[phi, 1:] = np.cumsum(sel)
-    return cum
+        rows.append(xp.concatenate([z, sel]))
+    cum = DD.cumsum_dd(xp.stack(rows), axis=-1)
+    return cum if A.is_jax else cum.hi
+
 
 
 def seg_sum(cum: np.ndarray, phi, left, right):
@@ -98,52 +116,50 @@ def motif_score_fwd(codes: np.ndarray, motif: Motif) -> np.ndarray:
     Window positions whose pattern contains N or crosses the sequence end
     contribute 0.25 (reference Motif::seqProb per-position catch).
     Defined for s in [k, n-1]; s < k gets -inf (callers gate on that)."""
+    xp = A.xp
     n = codes.shape[0]
     k1 = motif.k + 1
-    out = np.full(n, NEG_INF)
     if n <= motif.k:
-        return out
+        return np.full(n, NEG_INF)
     ids_part = genetics.kmer_ids(codes, k1)     # start i -> [i, i+k]
-    ids = np.full(n, -1, dtype=np.int64)
-    ids[: ids_part.shape[0]] = ids_part         # starts beyond n-k1: invalid
-    logw = _safe_log(motif.window_probs)        # (n_win, 4^{k+1})
+    ids = xp.concatenate([ids_part, xp.full((n - ids_part.shape[0],), -1,
+                                            dtype=ids_part.dtype)])
+    logw = asarr(_safe_log_np(motif.window_probs))   # (n_win, 4^{k+1})
     starts = np.arange(motif.k, n)
-    acc = np.zeros(starts.shape[0])
+    acc = xp.zeros(starts.shape[0], dtype=ftype())
     for i in range(motif.n):
         pat_start = np.clip(starts + i - motif.k, 0, n - 1)
         in_range = (starts + i - motif.k) <= n - 1
         pid = ids[pat_start]
         v = in_range & (pid >= 0)
-        acc += np.where(v, logw[i, np.where(v, pid, 0)], LOG_QUARTER)
-    out[motif.k:] = acc
-    return out
+        acc = acc + xp.where(v, logw[i, xp.where(v, pid, 0)], LOG_QUARTER)
+    return xp.concatenate([xp.full((motif.k,), NEG_INF, dtype=ftype()), acc])
 
 
 def motif_score_rc(codes: np.ndarray, motif: Motif) -> np.ndarray:
     """log Motif::seqProb(seq + s, reverse=True, complement=True) per start s:
     product over i of windowProbs[n-1-i][rc pattern starting at s+i]; window
     positions crossing the end or containing N contribute 0.25."""
+    xp = A.xp
     n = codes.shape[0]
     k1 = motif.k + 1
-    out = np.full(n, NEG_INF)
     if n == 0:
-        return out
+        return np.full(n, NEG_INF)
     ids_part = genetics.rc_kmer_ids(codes, k1)  # start i -> rc of [i, i+k]
-    ids = np.full(n, -1, dtype=np.int64)
-    ids[: ids_part.shape[0]] = ids_part
-    logw = _safe_log(motif.window_probs)
+    ids = xp.concatenate([ids_part, xp.full((n - ids_part.shape[0],), -1,
+                                            dtype=ids_part.dtype)]) \
+        if ids_part.shape[0] < n else ids_part
+    logw = asarr(_safe_log_np(motif.window_probs))
     starts = np.arange(0, n)
-    acc = np.zeros(starts.shape[0])
+    acc = xp.zeros(starts.shape[0], dtype=ftype())
     for i in range(motif.n):
         pat_start = np.clip(starts + i, 0, n - 1)
         in_range = (starts + i) <= n - 1
         pid = ids[pat_start]
         v = in_range & (pid >= 0)
-        acc += np.where(v, logw[motif.n - 1 - i, np.where(v, pid, 0)],
-                        LOG_QUARTER)
-    out[:] = acc
-    out[: 0] = NEG_INF
-    return out
+        acc = acc + xp.where(v, logw[motif.n - 1 - i, xp.where(v, pid, 0)],
+                             LOG_QUARTER)
+    return acc
 
 
 @dataclass
@@ -159,10 +175,10 @@ class SpliceTracks:
 
 
 def dinuc_at(codes: np.ndarray, a: int, b: int) -> np.ndarray:
+    xp = A.xp
     n = codes.shape[0]
-    out = np.zeros(n, dtype=bool)
-    out[: n - 1] = (codes[:-1] == a) & (codes[1:] == b)
-    return out
+    head = (codes[:-1] == a) & (codes[1:] == b)
+    return xp.concatenate([head, xp.zeros(min(n, 1), dtype=bool)])
 
 
 def is_possible_dss(dss_ok: np.ndarray, pos) -> np.ndarray:
@@ -202,103 +218,116 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
                         hinted=None) -> SpliceTracks:
     """hinted: optional (fD, rD, fA, rA) boolean arrays of hint-enabled
     splice sites (reference isPossibleDSS merges genomic consensus with
-    hinted sites, include/statemodel.hh:98-117)."""
+    hinted sites, include/statemodel.hh:98-117).  xp-generic: fully masked
+    (no data-dependent subsetting), so the device prep path traces it."""
+    xp = A.xp
     n = codes.shape[0]
-    A, C, G, T = genetics.A, genetics.C, genetics.G, genetics.T
+    A_, C_, G_, T_ = genetics.A, genetics.C, genetics.G, genetics.T
 
-    dss_ok = dinuc_at(codes, G, T)
+    dss_ok = dinuc_at(codes, G_, T_)
     if cn.dss_gc_allowed:
-        dss_ok |= dinuc_at(codes, G, C)
-    rdss_ok = dinuc_at(codes, A, C)
+        dss_ok = dss_ok | dinuc_at(codes, G_, C_)
+    rdss_ok = dinuc_at(codes, A_, C_)
     if cn.dss_gc_allowed:
-        rdss_ok |= dinuc_at(codes, G, C)
-    ass_ok = dinuc_at(codes, A, G)
-    rass_ok = dinuc_at(codes, C, T)
+        rdss_ok = rdss_ok | dinuc_at(codes, G_, C_)
+    ass_ok = dinuc_at(codes, A_, G_)
+    rass_ok = dinuc_at(codes, C_, T_)
     if hinted is not None:
         fD, rD, fA, rA = hinted
         dss_ok = dss_ok | fD                       # 'gt'-indexed at pos
-        rdss_ok = rdss_ok | np.roll(rD, -1)        # pattern at pos-1
-        ass_ok = ass_ok | np.roll(fA, -1)
+        rdss_ok = rdss_ok | xp.roll(rD, -1)        # pattern at pos-1
+        ass_ok = ass_ok | xp.roll(fA, -1)
         rass_ok = rass_ok | rA
 
-    # ---- donor (DSS) windowed pattern score --------------------------------
-    # forward window starting at base: [base, base+dss_start-1] then the GT at
-    # [base+dss_start, +1], then [base+dss_start+2, base+dss_whole-1]
-    # pattern = outer bases (dss_size of them); prob from dssprobs, binned.
     ds, de = cn.dss_start, cn.dss_end
-    dsize = cn.dss_size
-    dss_score = np.full(n, NEG_INF)
-    rdss_score = np.full(n, NEG_INF)
+    base = np.arange(n)
 
-    # build pattern ids vectorized: big-endian over the dsize pattern chars
-    def window_ids(offsets: List[np.ndarray]) -> np.ndarray:
-        ids = np.zeros(offsets[0].shape[0], dtype=np.int64)
-        bad = np.zeros(offsets[0].shape[0], dtype=bool)
+    def window_ids(offsets):
+        """Pattern id over the given absolute offset arrays (big-endian),
+        -1 where any base is N or out of range."""
+        ids = xp.zeros(n, dtype=np.int64)
+        bad = xp.zeros(n, dtype=bool)
         for off in offsets:
-            c = codes[off].astype(np.int64)
-            bad |= c == genetics.N
-            ids = (ids << 2) | np.where(c == genetics.N, 0, c)
-        return np.where(bad, -1, ids)
+            inr = (off >= 0) & (off < n)
+            c = xp.where(inr, codes[np.clip(off, 0, n - 1)].astype(np.int64),
+                         np.int64(genetics.N))
+            bad = bad | (c == genetics.N)
+            ids = (ids << 2) | xp.where(c == genetics.N, 0, c)
+        return xp.where(bad, -1, ids)
 
-    def rc_ids(offsets: List[np.ndarray]) -> np.ndarray:
+    comp_t = asarr(genetics.COMPLEMENT)
+
+    def rc_ids(offsets):
         # complement bases, given in already-reversed offset order
-        ids = np.zeros(offsets[0].shape[0], dtype=np.int64)
-        bad = np.zeros(offsets[0].shape[0], dtype=bool)
+        ids = xp.zeros(n, dtype=np.int64)
+        bad = xp.zeros(n, dtype=bool)
         for off in offsets:
-            c = genetics.COMPLEMENT[codes[off]].astype(np.int64)
-            bad |= c == genetics.N
-            ids = (ids << 2) | np.where(c == genetics.N, 0, c)
-        return np.where(bad, -1, ids)
+            inr = (off >= 0) & (off < n)
+            cc = comp_t[codes[np.clip(off, 0, n - 1)]].astype(np.int64)
+            c = xp.where(inr, cc, np.int64(genetics.N))
+            bad = bad | (c == genetics.N)
+            ids = (ids << 2) | xp.where(c == genetics.N, 0, c)
+        return xp.where(bad, -1, ids)
+
+    # Pre-binned pattern tables, computed ONCE per model in float64 on the
+    # host: the piecewise-constant bin factor is a pure function of the
+    # pattern id (+ the non-consensus flag), so gathering a host-binned
+    # table keeps device f32 runs bit-consistent with the host's f64
+    # binning even for probabilities that sit exactly on bin boundaries
+    # (the .pbl files contain such values).
+    if not hasattr(ip, "_binned_tables"):
+        def _host_factor(bin_, p):
+            if bin_.nbins == 0:
+                return p
+            return np.asarray(bin_.avprobs)[
+                np.searchsorted(np.asarray(bin_.boundaries), p,
+                                side="right")]
+        with np.errstate(divide="ignore"):
+            dssp = np.asarray(ip.dss_probs, dtype=np.float64)
+            assp = np.asarray(ip.ass_probs, dtype=np.float64)
+            ip._binned_tables = (
+                np.log(_host_factor(ip.dss_bin, dssp)),
+                np.log(_host_factor(ip.dss_bin, dssp * ip.non_gt_dss_prob)),
+                np.log(_host_factor(ip.ass_bin, assp)),
+                np.log(_host_factor(ip.ass_bin, assp * ip.non_ag_ass_prob)))
+    log_dssb, log_dssb_n, log_assb, log_assb_n = \
+        [asarr(t) for t in ip._binned_tables]
 
     # forward DSS: possible at base if isPossibleDSS(base+dss_start) and the
     # whole window [base, base+dss_whole-1] is inside the sequence
-    base = np.arange(n)
     whole = cn.dss_whole_size
     okb = (base + whole <= n) & is_possible_dss(dss_ok, base + ds)
-    sel = base[okb]
-    if sel.size:
-        offs = [sel + i for i in range(ds)] + \
-               [sel + ds + DSS_MIDDLE + i for i in range(de)]
-        pid = window_ids(offs)
-        valid = pid >= 0
-        probs = np.where(valid, ip.dss_probs[np.where(valid, pid, 0)], 0.0)
-        # non-GT consensus (gc) sites get an extra factor
-        non_gt = ~dinuc_at(codes, G, T)[np.clip(sel + ds, 0, n - 1)]
-        probs = np.where(non_gt, probs * ip.non_gt_dss_prob, probs)
-        if ip.dss_bin.nbins > 0:
-            probs = np.where(valid & (probs >= 0), ip.dss_bin.factor(probs), probs)
-        dss_score[sel] = np.where(valid, _safe_log(probs), NEG_INF)
+    offs = [base + i for i in range(ds)] + \
+           [base + ds + DSS_MIDDLE + i for i in range(de)]
+    pid = window_ids(offs)
+    valid = pid >= 0
+    pc = xp.where(valid, pid, 0)
+    non_gt = ~dinuc_at(codes, G_, T_)[np.clip(base + ds, 0, n - 1)]
+    lp = xp.where(non_gt, log_dssb_n[pc], log_dssb[pc])
+    dss_score = xp.where(okb & valid, lp, NEG_INF)
 
     # reverse DSS window starting at base: [base, base+dss_end-1], "ac" at
     # [base+dss_end, +1], [base+dss_end+2, base+dss_whole-1]; the pattern is
     # the reverse complement read: first the rc of the right part then rc of
     # the left part (reference dSSProb, reverse branch).
     okb = (base + whole <= n) & is_possible_rdss(rdss_ok, base + de + 1)
-    sel = base[okb]
-    if sel.size:
-        # putReverseComplement(astr, seq + dsspos + DSS_MIDDLE, dss_start):
-        # astr[0:ds] = rc of seq[base+de+2 : base+de+2+ds]
-        # astr[ds:ds+de] = rc of seq[base : base+de]
-        offs = [sel + de + DSS_MIDDLE + ds - 1 - i for i in range(ds)] + \
-               [sel + de - 1 - i for i in range(de)]
-        pid = rc_ids(offs)
-        valid = pid >= 0
-        probs = np.where(valid, ip.dss_probs[np.where(valid, pid, 0)], 0.0)
-        non_gt = ~dinuc_at(codes, A, C)[np.clip(sel + de, 0, n - 1)]
-        probs = np.where(non_gt, probs * ip.non_gt_dss_prob, probs)
-        if ip.dss_bin.nbins > 0:
-            probs = np.where(valid, ip.dss_bin.factor(probs), probs)
-        rdss_score[sel] = np.where(valid, _safe_log(probs), NEG_INF)
+    offs = [base + de + DSS_MIDDLE + ds - 1 - i for i in range(ds)] + \
+           [base + de - 1 - i for i in range(de)]
+    pid = rc_ids(offs)
+    valid = pid >= 0
+    pc = xp.where(valid, pid, 0)
+    non_gt = ~dinuc_at(codes, A_, C_)[np.clip(base + de, 0, n - 1)]
+    lp = xp.where(non_gt, log_dssb_n[pc], log_dssb[pc])
+    rdss_score = xp.where(okb & valid, lp, NEG_INF)
 
     # ---- acceptor (ASS) ----------------------------------------------------
     asz, ae = cn.ass_start, cn.ass_end
     up = cn.ass_upwindow_size
     ass_whole = cn.ass_whole_size
-    ass_score: List[np.ndarray] = []
-    rass_score: List[np.ndarray] = []
+    ass_score = []
+    rass_score = []
+    inv_lp = np.log(0.001) + cn.ass_size * LOG_QUARTER
     for gcp in ip.gc:
-        fwd = np.full(n, NEG_INF)
-        rev = np.full(n, NEG_INF)
         motif_f = motif_score_fwd(codes, gcp.ass_motif)
         motif_r = motif_score_rc(codes, gcp.ass_motif)
 
@@ -307,50 +336,35 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         # [base+up+ass_start+2, ...+ae-1]; motif over [base, base+up-1]
         okb = (base + up + ass_whole <= n) & \
             is_possible_ass(ass_ok, base + up + asz + 1)
-        sel = base[okb]
-        if sel.size:
-            offs = [sel + up + i for i in range(asz)] + \
-                   [sel + up + asz + ASS_MIDDLE + i for i in range(ae)]
-            pid = window_ids(offs)
-            valid = pid >= 0
-            pat = np.where(valid, ip.ass_probs[np.where(valid, pid, 0)], 0.0)
-            non_ag = ~dinuc_at(codes, A, G)[np.clip(sel + up + asz, 0, n - 1)]
-            pat = np.where(non_ag, pat * ip.non_ag_ass_prob, pat)
-            if ip.ass_bin.nbins > 0:
-                patb = np.where(valid, ip.ass_bin.factor(pat), pat)
-            else:
-                patb = pat
-            lp = np.where(valid, _safe_log(patb),
-                          np.log(0.001) + cn.ass_size * LOG_QUARTER)
-            # motifProb = 0 when base < motif.k (reference aSSProb)
-            mot = np.where(sel >= gcp.ass_motif.k, motif_f[sel], NEG_INF)
-            fwd[sel] = lp + mot
+        offs = [base + up + i for i in range(asz)] + \
+               [base + up + asz + ASS_MIDDLE + i for i in range(ae)]
+        pid = window_ids(offs)
+        valid = pid >= 0
+        pc = xp.where(valid, pid, 0)
+        non_ag = ~dinuc_at(codes, A_, G_)[np.clip(base + up + asz, 0, n - 1)]
+        lpv = xp.where(non_ag, log_assb_n[pc], log_assb[pc])
+        lp = xp.where(valid, lpv, inv_lp)
+        # motifProb = 0 when base < motif.k (reference aSSProb)
+        mot = xp.where(base >= gcp.ass_motif.k, motif_f, NEG_INF)
+        ass_score.append(xp.where(okb, lp + mot, NEG_INF))
+
         # reverse: "ct" at [base+ae, +1]; pattern rc; motif over
         # [base+ass_whole, +up-1] in rc orientation
         okb = (base + up + ass_whole <= n) & \
             is_possible_rass(rass_ok, base + ae)
-        sel = base[okb]
-        if sel.size:
-            offs = [sel + ae + ASS_MIDDLE + asz - 1 - i for i in range(asz)] + \
-                   [sel + ae - 1 - i for i in range(ae)]
-            pid = rc_ids(offs)
-            valid = pid >= 0
-            pat = np.where(valid, ip.ass_probs[np.where(valid, pid, 0)], 0.0)
-            non_ag = ~dinuc_at(codes, C, T)[np.clip(sel + ae, 0, n - 1)]
-            pat = np.where(non_ag, pat * ip.non_ag_ass_prob, pat)
-            if ip.ass_bin.nbins > 0:
-                patb = np.where(valid, ip.ass_bin.factor(pat), pat)
-            else:
-                patb = pat
-            lp = np.where(valid, _safe_log(patb),
-                          np.log(0.001) + cn.ass_size * LOG_QUARTER)
-            motifstart = sel + ass_whole
-            motifend = motifstart + up
-            mot = np.where(motifend + gcp.ass_motif.k < n,
-                           motif_r[motifstart], up * LOG_QUARTER)
-            rev[sel] = lp + mot
-        ass_score.append(fwd)
-        rass_score.append(rev)
+        offs = [base + ae + ASS_MIDDLE + asz - 1 - i for i in range(asz)] + \
+               [base + ae - 1 - i for i in range(ae)]
+        pid = rc_ids(offs)
+        valid = pid >= 0
+        pc = xp.where(valid, pid, 0)
+        non_ag = ~dinuc_at(codes, C_, T_)[np.clip(base + ae, 0, n - 1)]
+        lpv = xp.where(non_ag, log_assb_n[pc], log_assb[pc])
+        lp = xp.where(valid, lpv, inv_lp)
+        motifstart = np.clip(base + ass_whole, 0, n - 1)
+        motifend = base + ass_whole + up
+        mot = xp.where(motifend + gcp.ass_motif.k < n,
+                       motif_r[motifstart], up * LOG_QUARTER)
+        rass_score.append(xp.where(okb, lp + mot, NEG_INF))
 
     return SpliceTracks(dss_ok=dss_ok, rdss_ok=rdss_ok, ass_ok=ass_ok,
                         rass_ok=rass_ok, dss_score=dss_score,
@@ -362,31 +376,59 @@ def nearest_stop_arrays(codes: np.ndarray, code: genetics.GeneticCode
                         ) -> Dict[str, np.ndarray]:
     """reference OpenReadingFrame ctor (src/exonmodel.cc:167): per position i
     (stepping by 3 within each frame lane), the largest stop-codon start
-    <= i in the same lane; -1 if none.  Plus the tail fixups."""
+    <= i in the same lane; -1 if none.  Plus the tail fixups.  xp-generic
+    (device: strided lane cummax via jax.lax.cummax + scatter)."""
+    xp = A.xp
     n = codes.shape[0]
-    fwd = np.full(n, -1, dtype=np.int64)
-    rev = np.full(n, -1, dtype=np.int64)
     stops_f = code.stop_at(codes)
     stops_r = code.rc_stop_at(codes)
     limit = n - STOPCODON_LEN
-    for lane in range(3):
-        pos = np.arange(lane, limit + 1, 3)
-        if pos.size == 0:
-            continue
-        for arr, stops in ((fwd, stops_f), (rev, stops_r)):
-            hit = np.where(stops[pos], pos, -1)
-            arr[pos] = np.maximum.accumulate(hit)
+    if not A.is_jax:
+        fwd = np.full(n, -1, dtype=np.int64)
+        rev = np.full(n, -1, dtype=np.int64)
+        for lane in range(3):
+            pos = np.arange(lane, limit + 1, 3)
+            if pos.size == 0:
+                continue
+            for arr, stops in ((fwd, stops_f), (rev, stops_r)):
+                hit = np.where(np.asarray(stops)[pos], pos, -1)
+                arr[pos] = np.maximum.accumulate(hit)
+    else:
+        import jax
+        fwd = xp.full(n, -1, dtype=np.int32)
+        rev = xp.full(n, -1, dtype=np.int32)
+        outs = []
+        for stops in (stops_f, stops_r):
+            arr = xp.full(n, -1, dtype=np.int32)
+            for lane in range(3):
+                pos = np.arange(lane, limit + 1, 3)
+                if pos.size == 0:
+                    continue
+                hit = xp.where(stops[pos], pos, -1).astype(np.int32)
+                run = jax.lax.cummax(hit)
+                arr = arr.at[pos].set(run)
+            outs.append(arr)
+        fwd, rev = outs
     if n > 5:
-        fwd[limit + 1] = fwd[limit - 2]
-        fwd[limit + 2] = fwd[limit - 1]
-        rev[limit + 1] = rev[limit - 2]
-        rev[limit + 2] = rev[limit - 1]
+        if not A.is_jax:
+            fwd[limit + 1] = fwd[limit - 2]
+            fwd[limit + 2] = fwd[limit - 1]
+            rev[limit + 1] = rev[limit - 2]
+            rev[limit + 2] = rev[limit - 1]
+        else:
+            fwd = fwd.at[limit + 1].set(fwd[limit - 2])
+            fwd = fwd.at[limit + 2].set(fwd[limit - 1])
+            rev = rev.at[limit + 1].set(rev[limit - 2])
+            rev = rev.at[limit + 2].set(rev[limit - 1])
     return {"fwd": fwd, "rev": rev}
 
 
 def leftmost_exon_begin(orf: Dict[str, np.ndarray], frame, base, forward: bool,
                         cn: Constants, n: int):
-    """reference OpenReadingFrame::leftmostExonBegin (vectorized)."""
+    """reference OpenReadingFrame::leftmostExonBegin (vectorized; xp-generic
+    so the device prep path traces it with jnp orf arrays)."""
+    from .xputil import A
+    xp = A.xp
     frame = np.asarray(frame)
     base = np.asarray(base)
     if forward:
@@ -397,10 +439,10 @@ def leftmost_exon_begin(orf: Dict[str, np.ndarray], frame, base, forward: bool,
                        base - 2)
     pos = np.where(pos >= n, pos - 3 * ((pos - n + 3) // 3), pos)
     arr = orf["fwd"] if forward else orf["rev"]
-    leftmost = np.where(pos >= 0, arr[np.clip(pos, 0, n - 1)] + 1, 0)
+    leftmost = xp.where(pos >= 0, arr[np.clip(pos, 0, n - 1)] + 1, 0)
     max_allowed = (cn.max_exon_len - cn.ass_upwindow_size - cn.ass_start
                    - ASS_MIDDLE - DSS_MIDDLE - cn.dss_start)
-    return np.maximum(leftmost, base - max_allowed)
+    return xp.maximum(leftmost, base - max_allowed)
 
 
 def leftmost_exon_begin_raw(orf: Dict[str, np.ndarray], frame: int, base: int,

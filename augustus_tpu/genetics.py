@@ -53,39 +53,40 @@ def kmer_ids(codes: np.ndarray, k: int) -> np.ndarray:
 
     Positions whose window contains a non-acgt base get index -1.
     First base is the most significant digit (reference Seq2Int::operator()).
-    """
+    xp-generic: traced with jnp codes by the device prep path."""
+    from .engine.xputil import A
+    xp = A.xp
     n = codes.shape[0]
     if n < k:
         return np.empty(0, dtype=np.int64)
     c64 = codes.astype(np.int64)
-    ids = np.zeros(n - k + 1, dtype=np.int64)
-    bad = np.zeros(n - k + 1, dtype=bool)
+    ids = xp.zeros(n - k + 1, dtype=np.int64)
+    bad = xp.zeros(n - k + 1, dtype=bool)
     for i in range(k):
-        ids = (ids << 2) | np.where(c64[i:n - k + 1 + i] == N, 0,
+        ids = (ids << 2) | xp.where(c64[i:n - k + 1 + i] == N, 0,
                                     c64[i:n - k + 1 + i])
-        bad |= c64[i:n - k + 1 + i] == N
-    ids[bad] = -1
-    return ids
+        bad = bad | (c64[i:n - k + 1 + i] == N)
+    return xp.where(bad, -1, ids)
 
 
 def rc_kmer_ids(codes: np.ndarray, k: int) -> np.ndarray:
     """Reverse-complement pattern index of the k-mer starting at each position.
 
     Matches reference Seq2Int::rc: digit i (significance 4**i) is the
-    complement of base i of the window.
-    """
+    complement of base i of the window."""
+    from .engine.xputil import A
+    xp = A.xp
     n = codes.shape[0]
     if n < k:
         return np.empty(0, dtype=np.int64)
-    comp = COMPLEMENT[codes].astype(np.int64)
-    ids = np.zeros(n - k + 1, dtype=np.int64)
-    bad = np.zeros(n - k + 1, dtype=bool)
+    comp = A.xp.asarray(COMPLEMENT)[codes].astype(np.int64)
+    ids = xp.zeros(n - k + 1, dtype=np.int64)
+    bad = xp.zeros(n - k + 1, dtype=bool)
     for i in range(k):
-        ids |= np.where(comp[i:n - k + 1 + i] == N, 0,
-                        comp[i:n - k + 1 + i]) << (2 * i)
-        bad |= comp[i:n - k + 1 + i] == N
-    ids[bad] = -1
-    return ids
+        ids = ids | (xp.where(comp[i:n - k + 1 + i] == N, 0,
+                              comp[i:n - k + 1 + i]) << (2 * i))
+        bad = bad | (comp[i:n - k + 1 + i] == N)
+    return xp.where(bad, -1, ids)
 
 
 # ---------------------------------------------------------------------------
@@ -185,33 +186,35 @@ class GeneticCode:
     def stop_at(self, codes: np.ndarray) -> np.ndarray:
         """Boolean array: True at position i if codes[i:i+3] is a stop codon.
 
-        Length n; last two positions are False.
+        Length n; last two positions are False.  xp-generic.
         """
+        from .engine.xputil import A
+        xp = A.xp
         n = codes.shape[0]
-        out = np.zeros(n, dtype=bool)
         if n < 3:
-            return out
+            return np.zeros(n, dtype=bool)
         c = codes.astype(np.int64)
         idx = c[:-2] * 16 + c[1:-1] * 4 + c[2:]
         valid = (c[:-2] != N) & (c[1:-1] != N) & (c[2:] != N)
-        out[: n - 2] = valid & self.is_stop[np.where(valid, idx, 0)]
-        return out
+        head = valid & xp.asarray(self.is_stop)[xp.where(valid, idx, 0)]
+        return xp.concatenate([head, xp.zeros(2, dtype=bool)])
 
     def rc_stop_at(self, codes: np.ndarray) -> np.ndarray:
         """True at i if codes[i:i+3] is the reverse complement of a stop codon
         (i.e. a stop codon read on the minus strand): tta, cta, tca for the
         standard code."""
+        from .engine.xputil import A
+        xp = A.xp
         n = codes.shape[0]
-        out = np.zeros(n, dtype=bool)
         if n < 3:
-            return out
+            return np.zeros(n, dtype=bool)
         c = codes.astype(np.int64)
-        comp = COMPLEMENT[codes].astype(np.int64)
+        comp = xp.asarray(COMPLEMENT)[codes].astype(np.int64)
         # reverse complement codon = comp(b2) comp(b1) comp(b0)
         idx = comp[2:] * 16 + comp[1:-1] * 4 + comp[:-2]
         valid = (c[:-2] != N) & (c[1:-1] != N) & (c[2:] != N)
-        out[: n - 2] = valid & self.is_stop[np.where(valid, idx, 0)]
-        return out
+        head = valid & xp.asarray(self.is_stop)[xp.where(valid, idx, 0)]
+        return xp.concatenate([head, xp.zeros(2, dtype=bool)])
 
     def start_at(self, codes: np.ndarray) -> np.ndarray:
         """True at i if codes[i:i+3] == atg."""

@@ -120,13 +120,17 @@ class BinnedProbs:
 
     def bin_of(self, p: np.ndarray) -> np.ndarray:
         """Index a with boundaries[a-1] <= p < boundaries[a]
-        (reference BinnedMMGroup::getIndex binary search)."""
-        return np.searchsorted(self.boundaries, p, side="right")
+        (reference BinnedMMGroup::getIndex binary search); xp-generic so
+        the device prep path (engine/jgold.py) traces it."""
+        from ..engine.xputil import A
+        return A.xp.searchsorted(A.xp.asarray(self.boundaries), p,
+                                 side="right")
 
     def factor(self, p: np.ndarray) -> np.ndarray:
         if self.nbins == 0:
             return p
-        return self.avprobs[self.bin_of(p)]
+        from ..engine.xputil import A
+        return A.xp.asarray(self.avprobs)[self.bin_of(p)]
 
 
 # ---------------------------------------------------------------------------

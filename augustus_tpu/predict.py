@@ -110,6 +110,18 @@ def _decode(gold: GoldEngine, codes, softmask, gff_hints, engine: str,
       "gold"   — host float64 oracle
     """
     from . import stats
+    if engine in ("auto", "pallas") and not need_forward:
+        # fused device-prep fast path: tracks are built ON DEVICE from
+        # codes/stairs/sparse hint overlays inside one jit with the Pallas
+        # DP kernel (engine/pallas_prep.py) — no host table building, no
+        # bulk H2D.  Falls back transparently outside its v1 scope.
+        from .engine.pallas_pack import PallasFallback
+        from .engine.device import UnsupportedByDevice
+        try:
+            from .engine.pallas_prep import try_device_decode
+            return try_device_decode(gold, codes, softmask, gff_hints)
+        except (PallasFallback, UnsupportedByDevice):
+            pass
     if engine in ("auto", "pallas", "scan"):
         from .engine.device import build_tracks, UnsupportedByDevice
         from .engine.scan import ScanEngine, ForwardEngine
