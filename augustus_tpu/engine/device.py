@@ -336,7 +336,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
         elif t in (ST.longdss0, ST.longdss1, ST.longdss2,
                    ST.rlongdss0, ST.rlongdss1, ST.rlongdss2):
             fwd = t in (ST.longdss0, ST.longdss1, ST.longdss2)
-            j = np.arange(n)
+            j = U.arange(n)
             src = sp.dss_score if fwd else sp.rdss_score
             start = j - cn.dss_whole_size + 1
             if fwd:
@@ -345,18 +345,18 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             else:
                 gate = T.is_possible_rdss(sp.rdss_ok, j - cn.dss_start)
             sel = (start >= 0) & gate
-            emi = U.where(sel, src[np.clip(start, 0, n - 1)], NEG_INF)
+            emi = U.where(sel, src[xp.clip(start, 0, n - 1)], NEG_INF)
             if hints_on:
                 # intronic sub-range of the dss window
                 # (gold._fixed_intron_cands hint branch)
                 smc = ipc_p if fwd else ipc_m
                 eop = j - cn.dss_whole_size
                 if fwd:
-                    seg = U.val(smc[j + 1] - smc[np.clip(
+                    seg = U.val(smc[j + 1] - smc[xp.clip(
                         j - DSS_MIDDLE - cn.dss_end + 1, 0, n)])
                 else:
-                    seg = U.val(smc[np.clip(j - cn.dss_start + 1, 0, n)] -
-                                smc[np.clip(eop + 1, 0, n)])
+                    seg = U.val(smc[xp.clip(j - cn.dss_start + 1, 0, n)] -
+                                smc[xp.clip(eop + 1, 0, n)])
                 emi = xp.where(emi > NEG_INF, emi + seg, emi)
             # reverse-strand longdss states are entered from rgeometric
             # (mirrored intron order) whose row is class-renormalized:
@@ -380,7 +380,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                    ST.rlongass0, ST.rlongass1, ST.rlongass2):
             fwd = t in (ST.longass0, ST.longass1, ST.longass2)
             jump = cn.ass_whole_size + cn.ass_upwindow_size
-            j = np.arange(n)
+            j = U.arange(n)
             start = j - jump + 1
             if fwd:
                 gate = T.is_possible_ass(sp.ass_ok, j - cn.ass_end)
@@ -392,16 +392,16 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                 smc = ipc_p if fwd else ipc_m
                 eop = j - jump
                 if fwd:
-                    seg = U.val(smc[np.clip(j - cn.ass_end + 1, 0, n)] -
-                                smc[np.clip(eop + 1, 0, n)])
+                    seg = U.val(smc[xp.clip(j - cn.ass_end + 1, 0, n)] -
+                                smc[xp.clip(eop + 1, 0, n)])
                 else:
-                    seg = U.val(smc[j + 1] - smc[np.clip(eop + 1 + cn.ass_end,
+                    seg = U.val(smc[j + 1] - smc[xp.clip(eop + 1 + cn.ass_end,
                                                          0, n)])
             per_c = []
             for c in range(C):
                 src = sp.ass_score[c] if fwd else sp.rass_score[c]
                 sel = (start >= 0) & gate
-                emi = U.where(sel, src[np.clip(start, 0, n - 1)], NEG_INF)
+                emi = U.where(sel, src[xp.clip(start, 0, n - 1)], NEG_INF)
                 if hints_on:
                     emi = xp.where(emi > NEG_INF, emi + seg, emi)
                 per_c.append(_f32(emi))
@@ -415,7 +415,7 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             tr.fixed.append(FixedState(s, jump, 2, laneA, U.stk(per_c)))
         elif t in (ST.equalD0, ST.equalD1, ST.equalD2,
                    ST.requalD0, ST.requalD1, ST.requalD2):
-            jj = np.arange(n)
+            jj = U.arange(n)
             ok_j = jj >= dsl
             hint_seg = 0.0
             if hints_on:
@@ -425,12 +425,12 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                                      ST.equalD2) else ipc_m
                 hint_seg = xp.where(
                     ok_j,
-                    U.val(smc[jj + 1] - smc[np.clip(jj - dsl + 1, 0, n)])
+                    U.val(smc[jj + 1] - smc[xp.clip(jj - dsl + 1, 0, n)])
                     + lm["intron"], 0.0)
             per_c = []
             for c in range(C):
                 cum = eng.cum_intron_f[c]    # requalD also fwd (quirk)
-                seg = U.val(cum[jj + 1] - cum[np.clip(jj - dsl + 1, 0, n)])
+                seg = U.val(cum[jj + 1] - cum[xp.clip(jj - dsl + 1, 0, n)])
                 emi = xp.where(ok_j, seg, NEG_INF)
                 if hints_on:
                     emi = xp.where(emi > NEG_INF, emi + hint_seg, emi)
@@ -517,7 +517,7 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
     n = tr.n
     stairs = tr.stairs.astype(np.int64)
     ig_all = U.stk([eng.ig_track[c] for c in range(len(eng.inp.gc))])
-    igj = ig_all[stairs, np.arange(n)]
+    igj = ig_all[stairs, U.arange(n)]
     # dbase[p] = base[p] - base[p-1] exactly (igj with the p=0 entry zeroed)
     dbase = xp.concatenate([xp.zeros(1, dtype=igj.dtype), igj[1:]]) \
         if n > 1 else xp.zeros(n, dtype=igj.dtype)
@@ -526,11 +526,10 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
         else U.val(base_dd)
 
     def base_at(idx):
-        idx = np.asarray(idx) if not hasattr(idx, "aval") else idx
         bt = base_dd.take(xp.clip(idx, 0, n - 1))
         return bt.where(idx >= 0, 0.0)
 
-    pos = np.arange(n)
+    pos = U.arange(n)
     for cs in tr.chain:
         cs.emi = _c32(cs.emi - dbase[None, :])
     for fs in tr.fixed:
@@ -563,13 +562,13 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
             shift = rb[1]
             nb = a.shape[-1]
             if nb == n:                      # plain begin domain [0, n)
-                bidx = np.arange(n) - shift
+                bidx = U.arange(n) - shift
             else:                            # extended [-gpad, n+END_PAD)
-                bidx = np.arange(nb) - tr.gpad - shift
+                bidx = U.arange(nb) - tr.gpad - shift
             adj = base_at(bidx)
             a = U.where(guard, a + adj, a)
         elif kind == "cum":                  # (C, n+1), index p = pos+1
-            adj = -base_at(np.arange(a.shape[-1]) - 1)
+            adj = -base_at(U.arange(a.shape[-1]) - 1)
             a = a + adj
         out.append(_c32(a))
     tr.pool = out
@@ -603,7 +602,7 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
         [_pre((eng.cum_intron_f[c] if fwd else eng.cum_intron_r[c]) + ipbc)
          for c in range(C)]), rb=("cum",))
 
-    eops = np.arange(n)
+    eops = U.arange(n)
     begins = eops + 1
     if fwd:
         bbi = begins - cn.dss_end - DSS_MIDDLE
@@ -613,7 +612,7 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
         b_valid = ~((bbi >= 0) & ~T.is_possible_rass(sp.rass_ok, bbi))
 
     codes = eng.codes
-    j = np.arange(n)
+    j = U.arange(n)
     if fwd:
         ebi = j + cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
         j_gate = ~((ebi - ASS_MIDDLE + 1 < n - 1) &
@@ -628,7 +627,7 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
 
     def ch(idx):
         ok = (idx >= 0) & (idx < n)
-        return xp.where(ok, codes[np.clip(idx, 0, n - 1)].astype(np.int64),
+        return xp.where(ok, codes[xp.clip(idx, 0, n - 1)].astype(np.int64),
                         np.int64(genetics.N))
 
     past = ebi >= n - 2
@@ -805,7 +804,7 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
     log_nc = float(np.log(cn.prob_n_in_coding))
     L3 = float(np.log(3.0))
     hints_on = getattr(eng, "hints", None) is not None
-    j = np.arange(n)
+    j = U.arange(n)
 
     if t == ST.rsingleG:
         ends = [eng.tis_end_rev[c] for c in range(C)]
@@ -816,7 +815,7 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
         end = xp.where(gate, 0.0, NEG_INF)
         if hints_on:
             ok = (asspos >= 0) & (asspos < n)
-            padj = xp.where(ok, eng.ass_site_adj_m[np.clip(asspos, 0, n - 1)],
+            padj = xp.where(ok, eng.ass_site_adj_m[xp.clip(asspos, 0, n - 1)],
                             eng.log_malus["ass"])
             end = xp.where(end > NEG_INF, end + padj, end)
         ends = [end for _ in range(C)]
@@ -825,7 +824,7 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
     end_of_bio = j + g.base_offset
     right = end_of_bio - g.inner_part_end_offset
     frc = int((g.win + g.inner_part_end_offset + 1) % 3)   # frame_of_right
-    eon = np.minimum(end_of_bio, n - 1)
+    eon = xp.minimum(end_of_bio, n - 1)
     f_eon = (g.win + 1 + end_of_bio - eon) % 3
     orf_left = T.leftmost_exon_begin(eng.orf, f_eon, eon, False, cn, n)
     b = orf_left + 2
@@ -945,8 +944,8 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
 
     m2len = g.inner_part_offset + g.inner_part_end_offset + 1
 
-    b = np.arange(n)
-    j = np.arange(n)
+    b = U.arange(n)
+    j = U.arange(n)
     right = j + ro
     phi_j = (phase_const + phase_sign * j) % 3             # (n,)
 
@@ -957,19 +956,19 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     def _site_adj(track, pos, oob):
         """track[pos] where pos in range else oob (site hint fades/malus)."""
         ok = (pos >= 0) & (pos < n)
-        return xp.where(ok, track[np.clip(pos, 0, n - 1)], oob)
+        return xp.where(ok, track[xp.clip(pos, 0, n - 1)], oob)
 
     cums = {name: [eng.cum_exon[(c, name, fwd)] for c in range(C)]
             for name in ("emi", "init", "et")}
 
     def catb(name, idx):
         """(C, 3, len(idx)): cum[name][c][:, clip(idx)] — for G (b-indexed)."""
-        idx = np.clip(idx, 0, n)
+        idx = xp.clip(idx, 0, n)
         return U.stk([cums[name][c][:, idx] for c in range(C)])
 
     def catj(name, idx):
         """(C, len(idx)): cum at the j-phase — for H."""
-        idx = np.clip(idx, 0, n)
+        idx = xp.clip(idx, 0, n)
         return U.stk([cums[name][c][phi_j, idx] for c in range(C)])
 
     # ---------------- begin-part track over b ---------------------------
@@ -978,7 +977,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     for c in range(C):
         if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
             bt = xp.where((bob >= 0) & (bob < n),
-                          eng.tis_begin_fwd[c][np.clip(bob, 0, n - 1)],
+                          eng.tis_begin_fwd[c][xp.clip(bob, 0, n - 1)],
                           NEG_INF)
         elif t in (ST.terminal, ST.internal0, ST.internal1, ST.internal2):
             shortcut = (bob < 0) | ((bob - ASS_MIDDLE >= 0) &
@@ -1020,7 +1019,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         # (may be -1 for win==0: then pos = base+1 — the (frame==0)|(==1)
         # branch of T.leftmost_exon_begin handles exactly that mapping)
         lmb = T.leftmost_exon_begin(
-            eng.orf, np.full(n, g.win - 1), j + cn.dss_start, True, cn, n)
+            eng.orf, g.win - 1, j + cn.dss_start, True, cn, n)
         gate = xp.where((j == n - 1) | (mid & (lmb < j)), 0.0, NEG_INF)
         if hints_on:
             padj = _site_adj(eng.dss_site_adj_p, dsspos, lm["dss"])
@@ -1125,7 +1124,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         idc = xp.where(ok, ids, 0)
         pstart = right - m
         okr = (pstart >= 0) & (pstart <= n - (m + 1))
-        psc = np.clip(pstart, 0, max(n - (m + 1), 0))
+        psc = xp.clip(pstart, 0, max(n - (m + 1), 0))
         for c in range(C):
             lplsm = U.asarr(eng.log_pls(c, m)[frame])
             v2 = xp.where(ok, lplsm[idc], (m + 1) * log_nc)
@@ -1207,7 +1206,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
 
         def ipb():
             ok = (binp >= 0) & (binp < n)
-            bc = np.clip(binp, 0, n - 1)
+            bc = xp.clip(binp, 0, n - 1)
             vals = initpat_rev[np.arange(C)[:, None], phi_j[None, :],
                                bc[None, :]]
             return U.where(ok[None, :], vals, NEG_INF)
@@ -1260,7 +1259,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     eon = right + g.inner_part_end_offset
     if t in (ST.terminal, ST.singleG):
         eon = eon - STOPCODON_LEN
-    eon = np.minimum(eon, n - 1)
+    eon = xp.minimum(eon, n - 1)
     if fwd:
         f_eon = (g.win - 1 - (j + g.base_offset) + eon) % 3
     else:
@@ -1268,7 +1267,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     orf_left = T.leftmost_exon_begin(eng.orf, f_eon, eon, fwd, cn,
                                      n).astype(np.int64)
     smax = (j + g.base_offset) + g.inner_part_offset - cn.min_exon_length + 1
-    smax = np.minimum(smax, j + g.begin_part_len)
+    smax = xp.minimum(smax, j + g.begin_part_len)
     smin = xp.where(orf_left <= 0, 0, orf_left + g.inner_part_offset)
 
     ecs = ExonConvState(

@@ -462,11 +462,11 @@ class GoldEngine:
             motif = self.exp.gc[c].trans_init_motif
             mf = T.motif_score_fwd(cds, motif)
             mr = T.motif_score_rc(cds, motif)
-            bob = np.arange(n)
+            bob = U.arange(n)
             tis_start = bob - tw
             use_motif = tis_start > motif.k
             motif_term = xp.where(
-                use_motif, mf[np.clip(tis_start, 0, n - 1)],
+                use_motif, mf[xp.clip(tis_start, 0, n - 1)],
                 bob * T.LOG_QUARTER)    # pow(.25, beginOfStart-3), bOS-3=bob
             val = start_fwd + motif_term
             val = xp.where(bob >= n - 2, NEG_INF, val)
@@ -479,15 +479,15 @@ class GoldEngine:
             self.tis_begin_fwd[c] = val
 
             # reverse TIS endPart at DP base j: startpos = j - tw - 3 + 1
-            j = np.arange(n)
+            j = U.arange(n)
             sp = j - tw - STARTCODON_LEN + 1
             ok = sp >= 0
-            val = xp.where(ok, start_rev[np.clip(sp, 0, n - 1)], NEG_INF)
+            val = xp.where(ok, start_rev[xp.clip(sp, 0, n - 1)], NEG_INF)
             # motif right after the start codon, in rc orientation
             mstart = sp + STARTCODON_LEN
             in_range = mstart + tw - 1 + motif.k < n
             motif_term = xp.where(
-                in_range, mr[np.clip(mstart, 0, n - 1)],
+                in_range, mr[xp.clip(mstart, 0, n - 1)],
                 (n - mstart) * T.LOG_QUARTER)
             val = val + motif_term
             if tb.nbins > 0:

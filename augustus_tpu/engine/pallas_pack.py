@@ -256,7 +256,7 @@ def pack_tracks(tr: DPTracks, cls_blk: Optional[np.ndarray] = None):
         xtra_i.append(xp.asarray(vals).astype(np.int32))
         return itab.shape[1] + len(xtra_i) - 1
 
-    pos = np.arange(n)
+    pos = U.arange(n)
     GATE_LANE, CLS_LANE = 17, 16
     m_ip_misc[CLS_LANE] = st.cls_col
     xp = U.A.xp

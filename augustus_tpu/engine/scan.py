@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..model.state_config import ST
 from .device import DPTracks, F32_NEG, END_PAD
+from . import xputil as U
 
 NEG = jnp.float32(F32_NEG)
 GATE = jnp.float32(-1.0e29)
@@ -154,7 +155,7 @@ def split_tracks(tr: DPTracks):
     C = tr.n_classes
     n = tr.n
     cls = tr.stairs.astype(np.int64)
-    pos = np.arange(n)
+    pos = U.arange(n)
 
     # columns are collected contiguously and stacked once at the end:
     # writing them straight into a row-major (n, NSC) buffer looks

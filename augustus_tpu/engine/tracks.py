@@ -88,9 +88,10 @@ def phase_cumsum(per_frame: np.ndarray, reverse: bool):
     (the raw cums reach O(1.4e6) at megabase scale; f32 alone would rebase
     with ~0.06 absolute noise — see xputil.DD).
     """
+    from . import xputil as U
     xp = A.xp
     _, n = per_frame.shape
-    pos = np.arange(n)
+    pos = U.arange(n)
     rows = []
     z = xp.zeros((1,), dtype=ftype())
     for phi in range(3):
@@ -125,10 +126,11 @@ def motif_score_fwd(codes: np.ndarray, motif: Motif) -> np.ndarray:
     ids = xp.concatenate([ids_part, xp.full((n - ids_part.shape[0],), -1,
                                             dtype=ids_part.dtype)])
     logw = asarr(_safe_log_np(motif.window_probs))   # (n_win, 4^{k+1})
-    starts = np.arange(motif.k, n)
+    from . import xputil as U
+    starts = U.arange(n - motif.k) + motif.k
     acc = xp.zeros(starts.shape[0], dtype=ftype())
     for i in range(motif.n):
-        pat_start = np.clip(starts + i - motif.k, 0, n - 1)
+        pat_start = xp.clip(starts + i - motif.k, 0, n - 1)
         in_range = (starts + i - motif.k) <= n - 1
         pid = ids[pat_start]
         v = in_range & (pid >= 0)
@@ -150,10 +152,11 @@ def motif_score_rc(codes: np.ndarray, motif: Motif) -> np.ndarray:
                                             dtype=ids_part.dtype)]) \
         if ids_part.shape[0] < n else ids_part
     logw = asarr(_safe_log_np(motif.window_probs))
-    starts = np.arange(0, n)
+    from . import xputil as U
+    starts = U.arange(n)
     acc = xp.zeros(starts.shape[0], dtype=ftype())
     for i in range(motif.n):
-        pat_start = np.clip(starts + i, 0, n - 1)
+        pat_start = xp.clip(starts + i, 0, n - 1)
         in_range = (starts + i) <= n - 1
         pid = ids[pat_start]
         v = in_range & (pid >= 0)
@@ -185,33 +188,29 @@ def is_possible_dss(dss_ok: np.ndarray, pos) -> np.ndarray:
     """reference StateModel::isPossibleDSS: 1 <= pos <= n-2 and consensus
     'gt' at [pos, pos+1] (hints add sites later)."""
     n = dss_ok.shape[0]
-    pos = np.asarray(pos)
     ok = (pos >= 1) & (pos <= n - 2)
-    return ok & dss_ok[np.clip(pos, 0, n - 1)]
+    return ok & dss_ok[A.xp.clip(pos, 0, n - 1)]
 
 
 def is_possible_rdss(rdss_ok: np.ndarray, pos) -> np.ndarray:
     """'ac' at [pos-1, pos]."""
     n = rdss_ok.shape[0]
-    pos = np.asarray(pos)
     ok = (pos >= 1) & (pos <= n - 2)
-    return ok & rdss_ok[np.clip(pos - 1, 0, n - 1)]
+    return ok & rdss_ok[A.xp.clip(pos - 1, 0, n - 1)]
 
 
 def is_possible_ass(ass_ok: np.ndarray, pos) -> np.ndarray:
     """'ag' at [pos-1, pos]."""
     n = ass_ok.shape[0]
-    pos = np.asarray(pos)
     ok = (pos >= 1) & (pos <= n - 2)
-    return ok & ass_ok[np.clip(pos - 1, 0, n - 1)]
+    return ok & ass_ok[A.xp.clip(pos - 1, 0, n - 1)]
 
 
 def is_possible_rass(rass_ok: np.ndarray, pos) -> np.ndarray:
     """'ct' at [pos, pos+1]."""
     n = rass_ok.shape[0]
-    pos = np.asarray(pos)
     ok = (pos >= 1) & (pos <= n - 2)
-    return ok & rass_ok[np.clip(pos, 0, n - 1)]
+    return ok & rass_ok[A.xp.clip(pos, 0, n - 1)]
 
 
 def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
@@ -239,8 +238,9 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         ass_ok = ass_ok | xp.roll(fA, -1)
         rass_ok = rass_ok | rA
 
+    from . import xputil as U
     ds, de = cn.dss_start, cn.dss_end
-    base = np.arange(n)
+    base = U.arange(n)
 
     def window_ids(offsets):
         """Pattern id over the given absolute offset arrays (big-endian),
@@ -249,7 +249,7 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         bad = xp.zeros(n, dtype=bool)
         for off in offsets:
             inr = (off >= 0) & (off < n)
-            c = xp.where(inr, codes[np.clip(off, 0, n - 1)].astype(np.int64),
+            c = xp.where(inr, codes[xp.clip(off, 0, n - 1)].astype(np.int64),
                          np.int64(genetics.N))
             bad = bad | (c == genetics.N)
             ids = (ids << 2) | xp.where(c == genetics.N, 0, c)
@@ -263,7 +263,7 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         bad = xp.zeros(n, dtype=bool)
         for off in offsets:
             inr = (off >= 0) & (off < n)
-            cc = comp_t[codes[np.clip(off, 0, n - 1)]].astype(np.int64)
+            cc = comp_t[codes[xp.clip(off, 0, n - 1)]].astype(np.int64)
             c = xp.where(inr, cc, np.int64(genetics.N))
             bad = bad | (c == genetics.N)
             ids = (ids << 2) | xp.where(c == genetics.N, 0, c)
@@ -302,7 +302,7 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
     pid = window_ids(offs)
     valid = pid >= 0
     pc = xp.where(valid, pid, 0)
-    non_gt = ~dinuc_at(codes, G_, T_)[np.clip(base + ds, 0, n - 1)]
+    non_gt = ~dinuc_at(codes, G_, T_)[xp.clip(base + ds, 0, n - 1)]
     lp = xp.where(non_gt, log_dssb_n[pc], log_dssb[pc])
     dss_score = xp.where(okb & valid, lp, NEG_INF)
 
@@ -316,7 +316,7 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
     pid = rc_ids(offs)
     valid = pid >= 0
     pc = xp.where(valid, pid, 0)
-    non_gt = ~dinuc_at(codes, A_, C_)[np.clip(base + de, 0, n - 1)]
+    non_gt = ~dinuc_at(codes, A_, C_)[xp.clip(base + de, 0, n - 1)]
     lp = xp.where(non_gt, log_dssb_n[pc], log_dssb[pc])
     rdss_score = xp.where(okb & valid, lp, NEG_INF)
 
@@ -341,7 +341,7 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         pid = window_ids(offs)
         valid = pid >= 0
         pc = xp.where(valid, pid, 0)
-        non_ag = ~dinuc_at(codes, A_, G_)[np.clip(base + up + asz, 0, n - 1)]
+        non_ag = ~dinuc_at(codes, A_, G_)[xp.clip(base + up + asz, 0, n - 1)]
         lpv = xp.where(non_ag, log_assb_n[pc], log_assb[pc])
         lp = xp.where(valid, lpv, inv_lp)
         # motifProb = 0 when base < motif.k (reference aSSProb)
@@ -357,10 +357,10 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         pid = rc_ids(offs)
         valid = pid >= 0
         pc = xp.where(valid, pid, 0)
-        non_ag = ~dinuc_at(codes, C_, T_)[np.clip(base + ae, 0, n - 1)]
+        non_ag = ~dinuc_at(codes, C_, T_)[xp.clip(base + ae, 0, n - 1)]
         lpv = xp.where(non_ag, log_assb_n[pc], log_assb[pc])
         lp = xp.where(valid, lpv, inv_lp)
-        motifstart = np.clip(base + ass_whole, 0, n - 1)
+        motifstart = xp.clip(base + ass_whole, 0, n - 1)
         motifend = base + ass_whole + up
         mot = xp.where(motifend + gcp.ass_motif.k < n,
                        motif_r[motifstart], up * LOG_QUARTER)
@@ -429,17 +429,15 @@ def leftmost_exon_begin(orf: Dict[str, np.ndarray], frame, base, forward: bool,
     so the device prep path traces it with jnp orf arrays)."""
     from .xputil import A
     xp = A.xp
-    frame = np.asarray(frame)
-    base = np.asarray(base)
     if forward:
-        pos = np.where((frame == 0) | (frame == 1), base - frame - 3,
+        pos = xp.where((frame == 0) | (frame == 1), base - frame - 3,
                        base - frame)
     else:
-        pos = np.where((frame == 1) | (frame == 2), base + frame - 5,
+        pos = xp.where((frame == 1) | (frame == 2), base + frame - 5,
                        base - 2)
-    pos = np.where(pos >= n, pos - 3 * ((pos - n + 3) // 3), pos)
+    pos = xp.where(pos >= n, pos - 3 * ((pos - n + 3) // 3), pos)
     arr = orf["fwd"] if forward else orf["rev"]
-    leftmost = xp.where(pos >= 0, arr[np.clip(pos, 0, n - 1)] + 1, 0)
+    leftmost = xp.where(pos >= 0, arr[xp.clip(pos, 0, n - 1)] + 1, 0)
     max_allowed = (cn.max_exon_len - cn.ass_upwindow_size - cn.ass_start
                    - ASS_MIDDLE - DSS_MIDDLE - cn.dss_start)
     return xp.maximum(leftmost, base - max_allowed)

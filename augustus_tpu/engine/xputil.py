@@ -60,6 +60,15 @@ def asarr(x, dtype=None):
     return A.xp.asarray(x, dtype=dtype)
 
 
+def arange(n, dtype=None):
+    """Position index array: numpy on the host, a traced iota under jax
+    (an np.arange constant would otherwise be EMBEDDED per expression in
+    the lowered program — hundreds of MB at megabase scale)."""
+    if A.is_jax:
+        return A.xp.arange(n, dtype=dtype)
+    return np.arange(n, dtype=dtype)
+
+
 def ftype():
     """Float dtype for plain (non-DD) track math."""
     return np.float64 if not A.is_jax else np.float32
