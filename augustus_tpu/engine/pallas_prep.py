@@ -142,9 +142,16 @@ def try_device_decode(gold: GoldEngine, codes: np.ndarray, softmask,
         state0 = int(np.argmax(last))
         if last[state0] <= float(U.F32_NEG) / 2:
             raise RuntimeError("No feasible path found in HMM (fused)")
-        from .traceback import make_trace_fn, condensed_path
-        tfn = make_trace_fn(n, 0)
-        packed, fb = tfn(bps, state0)
+        from .traceback import (make_event_trace_fn, condensed_path_events,
+                                make_trace_fn, condensed_path)
+        tfn = make_event_trace_fn(n, 0)
+        ev, fb, cnt = tfn(bps, state0)
+        cnt = int(cnt)
+        if cnt < 16384:
+            return condensed_path_events(np.asarray(ev), cnt, int(fb), n,
+                                         gold.sg.state_types)
+        # event bound exhausted (pathological path): per-base walk
+        packed, fb = make_trace_fn(n, 0)(bps, state0)
         return condensed_path(np.asarray(packed), int(fb), n,
                               gold.sg.state_types)
 

@@ -73,6 +73,103 @@ def make_trace_fn(n: int, row_off: int):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=64)
+def make_event_trace_fn(n: int, row_off: int, M: int = 16384):
+    """Jitted event-walk traceback: O(#segments) instead of O(n).
+
+    Self-loop runs (off==1 and pred==state — the chain states' per-base
+    raw segments, reference doBacktracking off-by-one emission) are
+    skipped in one hop via a per-lane cummax "last non-self position"
+    table, so the sequential scan only executes one step per REAL
+    backpointer read (~10^3-10^4 per Mb instead of 10^6).
+
+    Returns (events (M,5) int32, final_base, count):
+      event row = [run_lo, run_hi, seg_lo, seg_hi, state]
+      * run entries ([run_lo, run_hi], possibly empty run_lo>run_hi) are
+        per-base raw segments of `state` (self-loop chain bases),
+      * [seg_lo, seg_hi] is the read segment of `state`.
+    Events are emitted end-to-begin; count==M means the bound was
+    exhausted (caller falls back to the per-base walk).
+    """
+
+    def fn(bps, state0):
+        lane = jnp.arange(bps.shape[1], dtype=jnp.int32)
+        # row for walk base j is bps[j + row_off]
+        body = jax.lax.dynamic_slice_in_dim(bps, 1 + row_off, n - 1, 0)
+        # body[i] = row of base j=i+1
+        off_t = body & 0xFFFFF
+        pred_t = body >> 20
+        selfrun = (off_t == 1) & (pred_t == lane[None, :])
+        selfrun = selfrun.at[0].set(False)          # base 1 always reads
+        jj = jnp.arange(1, n, dtype=jnp.int32)
+        jcol = jnp.where(selfrun, 0, jj[:, None])
+        brk = jax.lax.cummax(jcol, axis=0)           # last non-self <= j
+
+        def row_at(tab, base, state):
+            r = jax.lax.dynamic_index_in_dim(tab, base - 1, 0,
+                                             keepdims=False)
+            return jnp.sum(jnp.where(lane == state, r, 0))
+
+        def step(carry, _):
+            base, state, nseg = carry
+            live = base > 0
+            bc = jnp.maximum(base, 1)
+            sr = (row_at(selfrun.astype(jnp.int32), bc, state) > 0) & live
+            b2 = jnp.where(sr, row_at(brk, bc, state), base)
+            packed = row_at(body, jnp.maximum(b2, 1), state)
+            off = packed & 0xFFFFF
+            pred = packed >> 20
+            ev = jnp.where(live, jnp.stack(
+                [b2 + 1, base, b2 - off + 1, b2, state]), jnp.int32(0))
+            base2 = jnp.where(live, b2 - off, base)
+            state2 = jnp.where(live, pred, state)
+            return (base2, state2, nseg + live.astype(jnp.int32)), ev
+
+        (fb, _, cnt), ev = jax.lax.scan(
+            step, (jnp.int32(n - 1), jnp.asarray(state0, jnp.int32),
+                   jnp.int32(0)), None, length=M)
+        return ev, fb, cnt
+
+    return jax.jit(fn)
+
+
+def condensed_path_events(events: np.ndarray, count: int, final_base: int,
+                          dnalen: int, types):
+    """List[PathState] from the event-walk output; identical to
+    condensed_path on the per-base packed emits (chain runs expand to
+    per-base raw segments, then adjacent same-type non-coding-exon runs
+    merge — they are by construction the same merged run)."""
+    from ..output.genes import (PathState, set_trunc_flag, is_coding_exon)
+    ev = np.asarray(events[:count][::-1])          # begin-to-end order
+    if ev.shape[0] == 0:
+        return []
+    # per event: read segment [seg_lo, seg_hi], then run [run_lo, run_hi]
+    segs: List[Tuple[int, int, int]] = []
+    for run_lo, run_hi, seg_lo, seg_hi, st_ in ev:
+        segs.append((int(seg_lo), int(seg_hi), int(st_)))
+        if run_hi >= run_lo:
+            t = types[int(st_)]
+            if is_coding_exon(t):      # never self-runs; safety expansion
+                segs.extend((p, p, int(st_))
+                            for p in range(int(run_lo), int(run_hi) + 1))
+            else:
+                segs.append((int(run_lo), int(run_hi), int(st_)))
+    out = []
+    for b, e, s in segs:
+        t = types[s]
+        if out and out[-1].type == t and not is_coding_exon(t):
+            out[-1].end = e
+            continue
+        st = PathState(begin=b, end=e, type=t)
+        out.append(st)
+    # truncation flags: only the first/last raw segments can set them
+    for st in out:
+        probe = PathState(begin=st.begin, end=st.end, type=st.type)
+        set_trunc_flag(probe, st.begin - 1, dnalen)
+        st.truncated = probe.truncated
+    return out
+
+
 def raw_segments(packed: np.ndarray, final_base: int, types
                  ) -> List[Tuple[int, int, object]]:
     """Exact raw segment list of the host walk from the packed emits."""
