@@ -340,23 +340,23 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             src = sp.dss_score if fwd else sp.rdss_score
             start = j - cn.dss_whole_size + 1
             if fwd:
-                gate = T.is_possible_dss(sp.dss_ok,
-                                         j - cn.dss_end - DSS_MIDDLE + 1)
+                gate = T.is_possible_dss_sh(
+                    sp.dss_ok, -cn.dss_end - DSS_MIDDLE + 1)
             else:
-                gate = T.is_possible_rdss(sp.rdss_ok, j - cn.dss_start)
+                gate = T.is_possible_rdss_sh(sp.rdss_ok, -cn.dss_start)
             sel = (start >= 0) & gate
-            emi = U.where(sel, src[xp.clip(start, 0, n - 1)], NEG_INF)
+            emi = U.where(sel, U.sg(src, 1 - cn.dss_whole_size, n), NEG_INF)
             if hints_on:
                 # intronic sub-range of the dss window
                 # (gold._fixed_intron_cands hint branch)
                 smc = ipc_p if fwd else ipc_m
                 eop = j - cn.dss_whole_size
                 if fwd:
-                    seg = U.val(smc[j + 1] - smc[xp.clip(
-                        j - DSS_MIDDLE - cn.dss_end + 1, 0, n)])
+                    seg = U.val(U.sg(smc, 1, n) -
+                                U.sg(smc, -DSS_MIDDLE - cn.dss_end + 1, n))
                 else:
-                    seg = U.val(smc[xp.clip(j - cn.dss_start + 1, 0, n)] -
-                                smc[xp.clip(eop + 1, 0, n)])
+                    seg = U.val(U.sg(smc, 1 - cn.dss_start, n) -
+                                U.sg(smc, 1 - cn.dss_whole_size, n))
                 emi = xp.where(emi > NEG_INF, emi + seg, emi)
             # reverse-strand longdss states are entered from rgeometric
             # (mirrored intron order) whose row is class-renormalized:
@@ -383,25 +383,25 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
             j = U.arange(n)
             start = j - jump + 1
             if fwd:
-                gate = T.is_possible_ass(sp.ass_ok, j - cn.ass_end)
+                gate = T.is_possible_ass_sh(sp.ass_ok, -cn.ass_end)
             else:
-                gate = T.is_possible_rass(
+                gate = T.is_possible_rass_sh(
                     sp.rass_ok,
-                    j - cn.ass_upwindow_size - cn.ass_start - ASS_MIDDLE + 1)
+                    -cn.ass_upwindow_size - cn.ass_start - ASS_MIDDLE + 1)
             if hints_on:
                 smc = ipc_p if fwd else ipc_m
                 eop = j - jump
                 if fwd:
-                    seg = U.val(smc[xp.clip(j - cn.ass_end + 1, 0, n)] -
-                                smc[xp.clip(eop + 1, 0, n)])
+                    seg = U.val(U.sg(smc, 1 - cn.ass_end, n) -
+                                U.sg(smc, 1 - jump, n))
                 else:
-                    seg = U.val(smc[j + 1] - smc[xp.clip(eop + 1 + cn.ass_end,
-                                                         0, n)])
+                    seg = U.val(U.sg(smc, 1, n) -
+                                U.sg(smc, 1 - jump + cn.ass_end, n))
             per_c = []
             for c in range(C):
                 src = sp.ass_score[c] if fwd else sp.rass_score[c]
                 sel = (start >= 0) & gate
-                emi = U.where(sel, src[xp.clip(start, 0, n - 1)], NEG_INF)
+                emi = U.where(sel, U.sg(src, 1 - jump, n), NEG_INF)
                 if hints_on:
                     emi = xp.where(emi > NEG_INF, emi + seg, emi)
                 per_c.append(_f32(emi))
@@ -425,12 +425,12 @@ def build_tracks(eng: GoldEngine) -> DPTracks:
                                      ST.equalD2) else ipc_m
                 hint_seg = xp.where(
                     ok_j,
-                    U.val(smc[jj + 1] - smc[xp.clip(jj - dsl + 1, 0, n)])
+                    U.val(U.sg(smc, 1, n) - U.sg(smc, 1 - dsl, n))
                     + lm["intron"], 0.0)
             per_c = []
             for c in range(C):
                 cum = eng.cum_intron_f[c]    # requalD also fwd (quirk)
-                seg = U.val(cum[jj + 1] - cum[xp.clip(jj - dsl + 1, 0, n)])
+                seg = U.val(U.sg(cum, 1, n) - U.sg(cum, 1 - dsl, n))
                 emi = xp.where(ok_j, seg, NEG_INF)
                 if hints_on:
                     emi = xp.where(emi > NEG_INF, emi + hint_seg, emi)
@@ -517,7 +517,7 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
     n = tr.n
     stairs = tr.stairs.astype(np.int64)
     ig_all = U.stk([eng.ig_track[c] for c in range(len(eng.inp.gc))])
-    igj = ig_all[stairs, U.arange(n)]
+    igj = U.class_pick(ig_all, stairs)
     # dbase[p] = base[p] - base[p-1] exactly (igj with the p=0 entry zeroed)
     dbase = xp.concatenate([xp.zeros(1, dtype=igj.dtype), igj[1:]]) \
         if n > 1 else xp.zeros(n, dtype=igj.dtype)
@@ -533,7 +533,9 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
     for cs in tr.chain:
         cs.emi = _c32(cs.emi - dbase[None, :])
     for fs in tr.fixed:
-        adj = U.val(base_at(pos - fs.jump) - base_dd)
+        # base[clip(i - jump)] with base[0] == 0: the clip edge IS the
+        # idx<0 -> 0 semantics, so a static shift suffices
+        adj = U.val(U.sg(base_dd, -fs.jump, n) - base_dd)
         fs.emi = _c32(xp.where(fs.emi > float(F32_NEG) / 2,
                                fs.emi + adj[None, :], fs.emi))
     for ps in tr.exon_pinned:
@@ -562,13 +564,14 @@ def _finalize_tracks(tr: DPTracks, eng: GoldEngine, pool: Pool) -> None:
             shift = rb[1]
             nb = a.shape[-1]
             if nb == n:                      # plain begin domain [0, n)
-                bidx = U.arange(n) - shift
+                adj = U.sg(base_dd, -shift, n)
             else:                            # extended [-gpad, n+END_PAD)
-                bidx = U.arange(nb) - tr.gpad - shift
-            adj = base_at(bidx)
+                adj = base_at(U.arange(nb) - tr.gpad - shift)
             a = U.where(guard, a + adj, a)
         elif kind == "cum":                  # (C, n+1), index p = pos+1
-            adj = -base_at(U.arange(a.shape[-1]) - 1)
+            zero1 = xp.zeros((1,), dtype=U.ftype())
+            adj = -U.DD(xp.concatenate([zero1, base_dd.hi]),
+                        xp.concatenate([zero1, base_dd.lo]))
             a = a + adj
         out.append(_c32(a))
     tr.pool = out
@@ -605,25 +608,35 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
     eops = U.arange(n)
     begins = eops + 1
     if fwd:
+        c_bbi = 1 - cn.dss_end - DSS_MIDDLE
         bbi = begins - cn.dss_end - DSS_MIDDLE
-        b_valid = ~((bbi >= 0) & ~T.is_possible_dss(sp.dss_ok, bbi))
+        b_valid = ~((bbi >= 0) & ~T.is_possible_dss_sh(sp.dss_ok, c_bbi))
     else:
+        c_bbi = 1 - cn.ass_outside
         bbi = begins - cn.ass_outside
-        b_valid = ~((bbi >= 0) & ~T.is_possible_rass(sp.rass_ok, bbi))
+        b_valid = ~((bbi >= 0) & ~T.is_possible_rass_sh(sp.rass_ok, c_bbi))
 
     codes = eng.codes
     j = U.arange(n)
     if fwd:
-        ebi = j + cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
+        c_ebi = cn.ass_upwindow_size + cn.ass_start + ASS_MIDDLE
+        ebi = j + c_ebi
         j_gate = ~((ebi - ASS_MIDDLE + 1 < n - 1) &
-                   ~T.is_possible_ass(sp.ass_ok, ebi))
+                   ~T.is_possible_ass_sh(sp.ass_ok, c_ebi))
     else:
-        ebi = j + cn.dss_end + DSS_MIDDLE
+        c_ebi = cn.dss_end + DSS_MIDDLE
+        ebi = j + c_ebi
         j_gate = ~((ebi - DSS_MIDDLE + 1 < n - 1) &
-                   ~T.is_possible_rdss(sp.rdss_ok, ebi))
+                   ~T.is_possible_rdss_sh(sp.rdss_ok, c_ebi))
     guard = bbi > 1
 
     xp = U.A.xp
+    c64_ = codes.astype(np.int64)
+
+    def ch_sh(c):
+        idx = j + c
+        ok = (idx >= 0) & (idx < n)
+        return xp.where(ok, U.sg(c64_, c, n), np.int64(genetics.N))
 
     def ch(idx):
         ok = (idx >= 0) & (idx < n)
@@ -631,20 +644,20 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
                         np.int64(genetics.N))
 
     past = ebi >= n - 2
-    r1 = xp.where(past, np.int64(genetics.N), ch(ebi + 1))
-    r2 = xp.where(past, np.int64(genetics.N), ch(ebi + 2))
+    r1 = xp.where(past, np.int64(genetics.N), ch_sh(c_ebi + 1))
+    r2 = xp.where(past, np.int64(genetics.N), ch_sh(c_ebi + 2))
     comp = U.asarr(genetics.COMPLEMENT)
     A, G, Tb, Nb = genetics.A, genetics.G, genetics.T, genetics.N
     b_stop = np.zeros(n, dtype=np.int8)
     j_sel = np.zeros(n, dtype=np.int8)
     if t == ST.lessD1:
-        l0 = ch(bbi - 1)
+        l0 = ch_sh(c_bbi - 1)
         b_stop = (guard & (l0 == Tb)).astype(np.int8)
         j_sel = (((r1 == A) & ((r2 == A) | (r2 == G))) |
                  ((r1 == G) & (r2 == A))).astype(np.int8)
     elif t == ST.lessD2:
-        l0 = ch(bbi - 2)
-        l1 = ch(bbi - 1)
+        l0 = ch_sh(c_bbi - 2)
+        l1 = ch_sh(c_bbi - 1)
         case_ta = guard & (l0 == Tb) & (l1 == A)
         case_tg = guard & (l0 == Tb) & (l1 == G)
         b_stop = case_ta.astype(np.int8) | (case_tg.astype(np.int8) << 1)
@@ -652,8 +665,8 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
         j_sel = ((r1 == A) | (r1 == G)).astype(np.int8) | \
             ((r1 == A).astype(np.int8) << 1)
     elif t == ST.rlessD0:
-        l1 = ch(bbi - 1)
-        l2 = ch(bbi - 2)
+        l1 = ch_sh(c_bbi - 1)
+        l2 = ch_sh(c_bbi - 2)
         c1 = comp[xp.clip(l1, 0, 4)]
         c2 = comp[xp.clip(l2, 0, 4)]
         b_stop = (guard & (((c1 == A) & ((c2 == A) | (c2 == G))) |
@@ -661,7 +674,7 @@ def _build_lessd(eng: GoldEngine, s: int, t: ST, lane: int,
         cr1 = comp[xp.clip(r1, 0, 4)]
         j_sel = (cr1 == Tb).astype(np.int8)
     elif t == ST.rlessD1:
-        l1 = ch(bbi - 1)
+        l1 = ch_sh(c_bbi - 1)
         c2 = comp[xp.clip(l1, 0, 4)]
         cr1 = comp[xp.clip(r1, 0, 4)]
         cr2 = comp[xp.clip(r2, 0, 4)]
@@ -703,7 +716,7 @@ def _lessd_stop_combine(t_is_two_case: bool):
 # ---------------------------------------------------------------------------
 
 def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
-                      bob, ebx, exon_len, gpad: int):
+                      bob, ebx, exon_len, gpad: int, ebx_shift: int = 0):
     """exonpart/CDSpart/exon/CDS quotient for the single-candidate pinned
     states (reverse strand), via the cumulative HintTables decomposition —
     same formulas as scan._hint_quot, evaluated at one begin per j
@@ -716,6 +729,7 @@ def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
         return (exon_len * (lm["exonpart"] + lm["CDSpart"])
                 + lm["exon"] + lm["CDS"])
     ht = _hint_tables_cached(eng, gpad)["-"]
+    ebx_sh = ebx_shift            # ebx = i + ebx_shift (static)
 
     def xr(name, idx, zero_oob_low=True):
         """ht.xrows[name][idx], 0 below 0, saturated above n-1."""
@@ -723,14 +737,18 @@ def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
         g = v[xp.clip(idx, 0, n - 1)]
         return xp.where(idx < 0, 0.0, g) if zero_oob_low else g
 
+    def xre(name):
+        """xr at eb = clip(i + ebx_shift): a static shift."""
+        return U.sg(ht.xrows[name], ebx_sh, n)
+
     e_in = ebx <= n - 1          # crossing/exact tables are void past n-1
     eb = xp.clip(ebx, 0, n - 1)
     bm1 = bob - 1
 
-    cov_ep = xp.where(e_in, xr("TX_ep", eb), 0.0)
-    cov_cp = xp.where(e_in, xr("TX_cp", eb), 0.0)
-    covc_ep = xp.where(e_in, xr("TXc_ep", eb), 0.0)
-    covc_cp = xp.where(e_in, xr("TXc_cp", eb), 0.0)
+    cov_ep = xp.where(e_in, xre("TX_ep"), 0.0)
+    cov_cp = xp.where(e_in, xre("TX_cp"), 0.0)
+    covc_ep = xp.where(e_in, xre("TXc_ep"), 0.0)
+    covc_cp = xp.where(e_in, xre("TXc_cp"), 0.0)
     for k in range(ht.cross_start.shape[1]):
         sk = ht.cross_start[eb, k]
         wk = ht.cross_w[eb, k]
@@ -742,11 +760,11 @@ def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
         covc_cp = covc_cp - xp.where(fl == 2, 1.0, 0.0) * sub
 
     crw_ep = xr("CR_ep", bob)
-    inside_ep = xr("BE_ep", eb) - xr("BE_ep", bm1) - crw_ep + cov_ep
-    inside_cp = xr("BE_cp", eb) - xr("BE_cp", bm1) - xr("CR_cp", bob) + cov_cp
+    inside_ep = xre("BE_ep") - xr("BE_ep", bm1) - crw_ep + cov_ep
+    inside_cp = xre("BE_cp") - xr("BE_cp", bm1) - xr("CR_cp", bob) + cov_cp
     ccw_ep = xr("CntCR_ep", bob)
-    cin_ep = xr("CntBE_ep", eb) - xr("CntBE_ep", bm1) - ccw_ep + covc_ep
-    cin_cp = xr("CntBE_cp", eb) - xr("CntBE_cp", bm1) - \
+    cin_ep = xre("CntBE_ep") - xr("CntBE_ep", bm1) - ccw_ep + covc_ep
+    cin_cp = xre("CntBE_cp") - xr("CntBE_cp", bm1) - \
         xr("CntCR_cp", bob) + covc_cp
     part_bonus = inside_ep + inside_cp
     nep = cin_ep + cin_cp
@@ -754,8 +772,8 @@ def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
         part_bonus = part_bonus + 0.5 * (crw_ep - cov_ep)
         nep = nep + (ccw_ep - covc_ep)
     if aR:
-        part_bonus = part_bonus + 0.5 * (xr("C2_ep", eb) - cov_ep)
-        nep = nep + (xr("CntC2_ep", eb) - covc_ep)
+        part_bonus = part_bonus + 0.5 * (xre("C2_ep") - cov_ep)
+        nep = nep + (xre("CntC2_ep") - covc_ep)
     quot = part_bonus
 
     sup_ex = xp.zeros(bob.shape)
@@ -778,12 +796,12 @@ def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
             sup_ex = xp.maximum(sup_ex, cond)
     quot = quot + lm["exon"] * (1.0 - sup_ex) + lm["CDS"] * (1.0 - sup_cds)
 
-    d_ep = exon_len - (xr("CntE_ep", eb) - xr("CntE_ep", bm1))
-    d_cp = exon_len - (xr("CntE_cp", eb) - xr("CntE_cp", bm1))
+    d_ep = exon_len - (xre("CntE_ep") - xr("CntE_ep", bm1))
+    d_cp = exon_len - (xre("CntE_cp") - xr("CntE_cp", bm1))
     quot = quot + xp.where(d_ep > 0, d_ep * lm["exonpart"], 0.0)
     quot = quot + xp.where(d_cp > 0, d_cp * lm["CDSpart"], 0.0)
 
-    zc = xr("ZC", eb) - xr("ZC", bm1)
+    zc = xre("ZC") - xr("ZC", bm1)
     lpm = xp.where(zc > 0, zc * eng.log_local_malus_cp, 0.0)
     lpm = xp.maximum(lpm, -part_bonus)
     quot = quot + xp.where(nep >= 4.5, lpm, 0.0)
@@ -811,11 +829,12 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
     else:
         asspos = j + cn.ass_end + 1
         gate = (j == n - 1) | ((j + cn.ass_end + ASS_MIDDLE < n) &
-                               T.is_possible_rass(eng.splice.rass_ok, asspos))
+                               T.is_possible_rass_sh(eng.splice.rass_ok,
+                                                     cn.ass_end + 1))
         end = xp.where(gate, 0.0, NEG_INF)
         if hints_on:
             ok = (asspos >= 0) & (asspos < n)
-            padj = xp.where(ok, eng.ass_site_adj_m[xp.clip(asspos, 0, n - 1)],
+            padj = xp.where(ok, U.sg(eng.ass_site_adj_m, cn.ass_end + 1, n),
                             eng.log_malus["ass"])
             end = xp.where(end > NEG_INF, end + padj, end)
         ends = [end for _ in range(C)]
@@ -882,7 +901,8 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
     if hints_on:
         quot = _pinned_hint_quot(eng, True, t == ST.rsingleG,
                                  0 if t == ST.rsingleG else 3, bob,
-                                 end_of_bio, exon_len, gpad)
+                                 end_of_bio, exon_len, gpad,
+                                 ebx_shift=g.base_offset)
 
     score_c = []
     for c in range(C):
@@ -953,23 +973,32 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     lm = eng.log_malus if hints_on else {}
     xp = U.A.xp
 
-    def _site_adj(track, pos, oob):
-        """track[pos] where pos in range else oob (site hint fades/malus)."""
+    def _site_adj(track, shift, oob):
+        """track[i+shift] where in range else oob (site hint fades/malus);
+        STATIC integer shift -> slice+pad instead of a gather."""
+        pos = j + shift
         ok = (pos >= 0) & (pos < n)
-        return xp.where(ok, track[xp.clip(pos, 0, n - 1)], oob)
+        return xp.where(ok, U.sg(track, shift, n), oob)
 
     cums = {name: [eng.cum_exon[(c, name, fwd)] for c in range(C)]
             for name in ("emi", "init", "et")}
 
-    def catb(name, idx):
-        """(C, 3, len(idx)): cum[name][c][:, clip(idx)] — for G (b-indexed)."""
-        idx = xp.clip(idx, 0, n)
-        return U.stk([cums[name][c][:, idx] for c in range(C)])
+    def catb(name, shift):
+        """(C, 3, n): cum[name][c][:, clip(i+shift, 0, n)] — for G
+        (b-indexed); STATIC shift -> slice+pad."""
+        return U.stk([U.sg(cums[name][c], shift, n) for c in range(C)])
 
-    def catj(name, idx):
-        """(C, len(idx)): cum at the j-phase — for H."""
-        idx = xp.clip(idx, 0, n)
-        return U.stk([cums[name][c][phi_j, idx] for c in range(C)])
+    def catj(name, shift):
+        """(C, n): cum at the j-phase — for H; the phase pick is a
+        3-way select over shifted rows (not a 2D gather)."""
+        out = []
+        for c in range(C):
+            rows = U.sg(cums[name][c], shift, n)   # (3, n) or DD
+            r = rows[0]
+            for f in (1, 2):
+                r = U.where(phi_j == f, rows[f], r)
+            out.append(r)
+        return U.stk(out)
 
     # ---------------- begin-part track over b ---------------------------
     bob = b - g.inner_part_offset
@@ -977,23 +1006,29 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
     for c in range(C):
         if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
             bt = xp.where((bob >= 0) & (bob < n),
-                          eng.tis_begin_fwd[c][xp.clip(bob, 0, n - 1)],
-                          NEG_INF)
+                          U.sg(eng.tis_begin_fwd[c],
+                               -g.inner_part_offset, n), NEG_INF)
         elif t in (ST.terminal, ST.internal0, ST.internal1, ST.internal2):
             shortcut = (bob < 0) | ((bob - ASS_MIDDLE >= 0) &
-                                    ~T.is_possible_ass(sp.ass_ok, bob - 1))
+                                    ~T.is_possible_ass_sh(
+                                        sp.ass_ok,
+                                        -g.inner_part_offset - 1))
             bt = xp.where(b > 0, xp.where(shortcut, NEG_INF, 0.0),
                           xp.where(b == 0, 0.0, NEG_INF))
             if hints_on:
-                padj = _site_adj(eng.ass_site_adj_p, bob - 1, lm["ass"])
+                padj = _site_adj(eng.ass_site_adj_p,
+                                 -g.inner_part_offset - 1, lm["ass"])
                 bt = xp.where((b > 0) & (bt > NEG_INF), bt + padj, bt)
         else:   # rinitial, rinternal*
             blocked = (bob < 0) | ((bob - DSS_MIDDLE > 0) &
-                                   ~T.is_possible_rdss(sp.rdss_ok, bob - 1))
+                                   ~T.is_possible_rdss_sh(
+                                       sp.rdss_ok,
+                                       -g.inner_part_offset - 1))
             bt = xp.where(b == 0, 0.0, xp.where(blocked, NEG_INF, 0.0))
             if hints_on:
                 # malus only when beginOfBioExon > 0 (exonmodel.cc:1534)
-                padj = _site_adj(eng.dss_site_adj_m, bob - 1, 0.0)
+                padj = _site_adj(eng.dss_site_adj_m,
+                                 -g.inner_part_offset - 1, 0.0)
                 bt = xp.where((b != 0) & (bt > NEG_INF), bt + padj, bt)
         begin_list.append(bt)
     begin_arr = U.stk(begin_list)                          # (C, n)
@@ -1013,7 +1048,8 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
                ST.internal0, ST.internal1, ST.internal2):
         dsspos = j + cn.dss_start + 1
         mid = (j < n - 1) & ~(((dsspos + DSS_MIDDLE - 1 < n) &
-                               ~T.is_possible_dss(sp.dss_ok, dsspos)) |
+                               ~T.is_possible_dss_sh(sp.dss_ok,
+                                                     cn.dss_start + 1)) |
                               (j + cn.dss_start >= n))
         # vectorized leftmostExonBegin with the RAW frame value win-1
         # (may be -1 for win==0: then pos = base+1 — the (frame==0)|(==1)
@@ -1022,16 +1058,18 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
             eng.orf, g.win - 1, j + cn.dss_start, True, cn, n)
         gate = xp.where((j == n - 1) | (mid & (lmb < j)), 0.0, NEG_INF)
         if hints_on:
-            padj = _site_adj(eng.dss_site_adj_p, dsspos, lm["dss"])
+            padj = _site_adj(eng.dss_site_adj_p, cn.dss_start + 1,
+                             lm["dss"])
             gate = xp.where(gate > NEG_INF, gate + padj, gate)
         end_part = U.stk([gate for _ in range(C)])
     else:   # rinternal*
         asspos = j + cn.ass_end + 1
         mid = (j < n - 1) & (j + cn.ass_end + ASS_MIDDLE < n) & \
-            T.is_possible_rass(sp.rass_ok, asspos)
+            T.is_possible_rass_sh(sp.rass_ok, cn.ass_end + 1)
         gate = xp.where((j == n - 1) | mid, 0.0, NEG_INF)
         if hints_on:
-            padj = _site_adj(eng.ass_site_adj_m, asspos, lm["ass"])
+            padj = _site_adj(eng.ass_site_adj_m, cn.ass_end + 1,
+                             lm["ass"])
             gate = xp.where(gate > NEG_INF, gate + padj, gate)
         end_part = U.stk([gate for _ in range(C)])
     # separable part of the exonpart/CDS hint quotient
@@ -1087,11 +1125,15 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         ok = ids >= 0
         lpls = U.asarr(eng.log_pls(c, k - 1))   # log gathered, not recomputed
         idc = xp.where(ok, ids, 0)
+        by_f = [lpls[f][idc] for f in range(3)]  # small-table gathers
         tail = xp.full((n - m_ids,), k * log_nc, dtype=U.ftype())
         rows = []
         for phi in range(3):
             frame_ip = (phi + sel + k - 1) % 3
-            v = xp.where(ok, lpls[frame_ip, idc], k * log_nc)
+            v = by_f[0]
+            for f in (1, 2):
+                v = xp.where(frame_ip == f, by_f[f], v)
+            v = xp.where(ok, v, k * log_nc)
             rows.append(xp.concatenate([v, tail]))
         return xp.stack(rows)
 
@@ -1102,11 +1144,15 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         ok = rids >= 0
         lpls = U.asarr(eng.log_pls(c, k - 1))
         idc = xp.where(ok, rids, 0)
+        by_f = [lpls[f][idc] for f in range(3)]
         tail = xp.full((n - m_ids,), k * log_nc, dtype=U.ftype())
         rows = []
         for phi in range(3):
             frame_ip = (phi - sel) % 3
-            v = xp.where(ok, lpls[frame_ip, idc], k * log_nc)
+            v = by_f[0]
+            for f in (1, 2):
+                v = xp.where(frame_ip == f, by_f[f], v)
+            v = xp.where(ok, v, k * log_nc)
             rows.append(xp.concatenate([v, tail]))
         return xp.stack(rows)
 
@@ -1124,11 +1170,13 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
         idc = xp.where(ok, ids, 0)
         pstart = right - m
         okr = (pstart >= 0) & (pstart <= n - (m + 1))
-        psc = xp.clip(pstart, 0, max(n - (m + 1), 0))
         for c in range(C):
             lplsm = U.asarr(eng.log_pls(c, m)[frame])
             v2 = xp.where(ok, lplsm[idc], (m + 1) * log_nc)
-            track = xp.where(okr, v2[psc], NEG_INF)
+            v2f = xp.concatenate(
+                [v2, xp.full((n - v2.shape[0],), (m + 1) * log_nc,
+                             dtype=U.ftype())]) if v2.shape[0] < n else v2
+            track = xp.where(okr, U.sg(v2f, ro - m, n), NEG_INF)
             per_c.append(track + U.val(end_part)[c])
         return _f32(U.stk(per_c))
 
@@ -1148,28 +1196,28 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
 
         if t in (ST.singleG, ST.initial0, ST.initial1, ST.initial2):
             gid_main = pool.add(f"G_fwd_ini_{begin_key}", lambda: _pre(
-                initpat + catb("init", b + k + initL)
-                - catb("init", b + k) - catb("emi", b + k + initL)
+                initpat + catb("init", k + initL)
+                - catb("init", k) - catb("emi", k + initL)
                 + begin_arr[:, None, :]), rb=rbG)
             gid_ti = pool.add(f"G_fwd_initrunc_{begin_key}", lambda: _pre(
-                initpat - catb("init", b + k)
+                initpat - catb("init", k)
                 + begin_arr[:, None, :]), rb=rbG)
         else:
             gid_main = pool.add(f"G_fwd_int_{begin_key}", lambda: _pre(
-                initpat - catb("emi", b + k)
+                initpat - catb("emi", k)
                 + begin_arr[:, None, :]), rb=rbG)
             gid_ti = None
 
         def h_et():
-            bot = right - etL + 1
-            return _pre(catj("emi", bot) + catj("et", right + 1)
-                        - catj("et", bot) + end_part)
+            bot_sh = ro - etL + 1
+            return _pre(catj("emi", bot_sh) + catj("et", ro + 1)
+                        - catj("et", bot_sh) + end_part)
 
         def h_e():
-            return _pre(catj("emi", right + 1) + end_part)
+            return _pre(catj("emi", ro + 1) + end_part)
 
         def h_i():
-            return _pre(catj("init", right + 1) + end_part)
+            return _pre(catj("init", ro + 1) + end_part)
 
         if t in (ST.initial0, ST.initial1, ST.initial2):
             hid_main = pool.add(f"H_fwd_et_{ro}_{state_tag}", h_et, rb=("H",))
@@ -1206,27 +1254,33 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
 
         def ipb():
             ok = (binp >= 0) & (binp < n)
-            bc = xp.clip(binp, 0, n - 1)
-            vals = initpat_rev[np.arange(C)[:, None], phi_j[None, :],
-                               bc[None, :]]
-            return U.where(ok[None, :], vals, NEG_INF)
+            sh = ro - (k - 1)
+            out = []
+            for c in range(C):
+                rows = U.sg(initpat_rev[c], sh, n)     # (3, n)
+                r = rows[0]
+                for f in (1, 2):
+                    r = xp.where(phi_j == f, rows[f], r)
+                out.append(xp.where(ok, r, NEG_INF))
+            return U.stk(out)
 
         gid_et = pool.add(f"G_rev_et_{begin_key}", lambda: _pre(
-            catb("et", b + etL) - catb("et", b) - catb("emi", b + etL)
+            catb("et", etL) - catb("et", 0) - catb("emi", etL)
             + begin_arr[:, None, :]), rb=rbG)
         gid_plain = pool.add(f"G_rev_plain_{begin_key}", lambda: _pre(
-            -catb("emi", b) + begin_arr[:, None, :]), rb=rbG)
+            -catb("emi", 0) + begin_arr[:, None, :]), rb=rbG)
         gid_i2 = pool.add(f"G_rev_init2_{begin_key}", lambda: _pre(
-            -catb("init", b) + begin_arr[:, None, :]), rb=rbG)
+            -catb("init", 0) + begin_arr[:, None, :]), rb=rbG)
 
         if t == ST.rinitial:
             def h_rini():
-                binit = binp - initL
-                return _pre(ipb() + catj("init", binp) - catj("init", binit)
-                            + catj("emi", binit) + end_part)
+                b_sh = ro - (k - 1)
+                bi_sh = b_sh - initL
+                return _pre(ipb() + catj("init", b_sh) - catj("init", bi_sh)
+                            + catj("emi", bi_sh) + end_part)
 
             def h_rinit2():
-                return _pre(ipb() + catj("init", binp) + end_part)
+                return _pre(ipb() + catj("init", ro - (k - 1)) + end_part)
 
             hid_main = pool.add(f"H_rini_{ro}_{state_tag}", h_rini, rb=("H",))
             hid_i2 = pool.add(f"H_rinit2_{ro}_{state_tag}", h_rinit2, rb=("H",))
@@ -1238,7 +1292,7 @@ def _build_exon_conv(eng: GoldEngine, s: int, t: ST, lane: int,
                         maxlen - m2len)
         else:   # rinternal*
             def h_rint():
-                return _pre(ipb() + catj("emi", binp) + end_part)
+                return _pre(ipb() + catj("emi", ro - (k - 1)) + end_part)
 
             hid_main = pool.add(f"H_rint_{ro}_{state_tag}", h_rint, rb=("H",))
             add_variant(gid_over, hid_over, -m2len + 1, -1)

@@ -355,7 +355,7 @@ class GoldEngine:
         for j in range(min(k + 1, n_)):
             window = codes[: j + 1].astype(np.int64)
             bad = (window == genetics.N).any()
-            idx = xp.zeros((), dtype=np.int64)
+            idx = xp.zeros((), dtype=np.int64 if xp is np else np.int32)
             for bi in range(j + 1):
                 idx = (idx << 2) | xp.where(window[bi] == genetics.N, 0,
                                             window[bi])
@@ -466,7 +466,7 @@ class GoldEngine:
             tis_start = bob - tw
             use_motif = tis_start > motif.k
             motif_term = xp.where(
-                use_motif, mf[xp.clip(tis_start, 0, n - 1)],
+                use_motif, U.sg(mf, -tw, n),
                 bob * T.LOG_QUARTER)    # pow(.25, beginOfStart-3), bOS-3=bob
             val = start_fwd + motif_term
             val = xp.where(bob >= n - 2, NEG_INF, val)
@@ -482,12 +482,13 @@ class GoldEngine:
             j = U.arange(n)
             sp = j - tw - STARTCODON_LEN + 1
             ok = sp >= 0
-            val = xp.where(ok, start_rev[xp.clip(sp, 0, n - 1)], NEG_INF)
+            val = xp.where(ok, U.sg(start_rev, -tw - STARTCODON_LEN + 1, n),
+                           NEG_INF)
             # motif right after the start codon, in rc orientation
             mstart = sp + STARTCODON_LEN
             in_range = mstart + tw - 1 + motif.k < n
             motif_term = xp.where(
-                in_range, mr[xp.clip(mstart, 0, n - 1)],
+                in_range, U.sg(mr, 1 - tw, n),
                 (n - mstart) * T.LOG_QUARTER)
             val = val + motif_term
             if tb.nbins > 0:

@@ -66,7 +66,14 @@ class PKVariant:
     lv_off: int                  # offset of reversed lenvec in lv_pack
     fm_off: int                  # offset of 3 fsel masks (framed) or -1
     g3row: int                   # first row of this variant's G pool in GS
-    h_lane: int                  # sp_convH lane
+    h_lane: int                  # sp_convH lane (scalar-H variants)
+    # merged short-band fields (engine/pallas_scan fconv): a run of narrow
+    # variants (overlap + tiny-pattern lengths) collapsed into one band
+    # with a per-length H vector read from consecutive sp_convH lanes and
+    # up to two G pools switching at a static band index
+    hv_base: int = -1            # sp_convH base lane of the H band, or -1
+    g2row: int = -1              # second G pool row (band idx >= g2_from)
+    g2_from: int = 0
 
 
 @dataclass(frozen=True)
@@ -242,7 +249,7 @@ def pack_tracks(tr: DPTracks, cls_blk: Optional[np.ndarray] = None):
     # planes were the dominant end-to-end cost.
     m_sp_state = np.full(128, -1, dtype=np.int32)
     m_sp_geo = np.full(128, -1, dtype=np.int32)
-    m_sp_convH = np.full(128, -1, dtype=np.int32)
+    m_sp_convH = np.full(256, -1, dtype=np.int32)
     m_ip_conv = np.full(128, -1, dtype=np.int32)
     m_ip_misc = np.full(128, -1, dtype=np.int32)
     xtra_s: List[np.ndarray] = []     # host-derived extra scalar columns
@@ -447,14 +454,78 @@ def pack_tracks(tr: DPTracks, cls_blk: Optional[np.ndarray] = None):
         if NHW else np.zeros((0, n), np.float32)
 
     conv_list: List[PKConv] = []
+    _next_h = [0]
+
+    def h_alloc(w: int) -> int:
+        base = _next_h[0]
+        assert base + w <= 256, "sp_convH lane budget exceeded"
+        _next_h[0] = base + w
+        return base
+
     for ci, ecs in enumerate(st.convs):
         if any(v.vb_lo is not None or v.vb_hi is not None
                for v in ecs.variants):
             raise PallasFallback("begin-bounded (UTR) conv variants present")
-        assert len(ecs.variants) <= CH
         vs: List[PKVariant] = []
-        for vi, var in enumerate(ecs.variants):
-            lvoff = lv_add(arr[f"lenvec{ci}_{vi}"])     # reversed lenvec
+        raw = list(ecs.variants)
+        _vi_of = {id(v): i for i, v in enumerate(raw)}
+        # ---- merge the leading run of narrow variants -------------------
+        # (the overlap band + the tiny-pattern singletons: per-step kernel
+        # overhead is per VARIANT, and these contribute more wall time
+        # than the 3000-wide main band — measured on TPU v5e)
+        t_ = 0
+        while (t_ < len(raw) and raw[t_].width <= 24
+               and (t_ == 0 or raw[t_].len_lo == raw[t_ - 1].len_hi + 1)):
+            t_ += 1
+        group = raw[:t_]
+        span = (group[-1].len_hi - group[0].len_lo + 1) if t_ >= 2 else 0
+        merged_ok = t_ >= 2 and span <= 64
+        if merged_ok:
+            # band coords: widx 0 <-> len_hi (descending length)
+            owners = []
+            for v in reversed(group):
+                owners.extend([v] * v.width)
+            gseq = [v.g_id for v in owners]
+            switches = [w for w in range(1, span)
+                        if gseq[w] != gseq[w - 1]]
+            merged_ok = len(switches) <= 1
+        if merged_ok:
+            len_hi_m = group[-1].len_hi
+            # merged reversed lenvec: concat per-variant reversed lenvecs
+            # in descending-length variant order
+            rv = np.concatenate(
+                [np.asarray(arr[f"lenvec{ci}_{_vi_of[id(v)]}"])
+                 for v in reversed(group)])
+            lvoff = lv_add(rv)
+            fmoff = -1
+            if group[0].fsel is not None:
+                fs = []
+                for v in reversed(group):
+                    fs.extend(v.fsel)
+                m = np.zeros((3, span), dtype=np.float32)
+                for w, f in enumerate(fs):
+                    m[f, w] = 1.0
+                fmoff = lv_add(m[0])
+                lv_add(m[1])
+                lv_add(m[2])
+            base_lane = h_alloc(span)
+            for w, v in enumerate(owners):
+                m_sp_convH[base_lane + w] = v.h_col
+            g2row, g2from = -1, 0
+            if switches:
+                g2row = gseq[switches[0]] * 3
+                g2from = switches[0]
+            vs.append(PKVariant(
+                width=span, len_lo=group[0].len_lo, len_hi=len_hi_m,
+                lv_off=lvoff, fm_off=fmoff, g3row=gseq[0] * 3,
+                h_lane=-1, hv_base=base_lane, g2row=g2row,
+                g2_from=g2from))
+            rest = raw[t_:]
+        else:
+            rest = raw
+        for var in rest:
+            vi = _vi_of[id(var)]
+            lvoff = lv_add(np.asarray(arr[f"lenvec{ci}_{vi}"]))
             fmoff = -1
             if var.fsel is not None:
                 m = np.zeros((3, var.width), dtype=np.float32)
@@ -463,8 +534,7 @@ def pack_tracks(tr: DPTracks, cls_blk: Optional[np.ndarray] = None):
                 fmoff = lv_add(m[0])
                 lv_add(m[1])
                 lv_add(m[2])
-            h_lane = ci * CH + vi
-            assert h_lane < 128
+            h_lane = h_alloc(1)
             m_sp_convH[h_lane] = var.h_col
             vs.append(PKVariant(width=var.width, len_lo=var.len_lo,
                                 len_hi=var.len_hi, lv_off=lvoff,
@@ -556,7 +626,7 @@ def expand_arrays(st: PKStatic, a):
         g = jnp.take(tab, safe, axis=1).astype(dtype)
         g = jnp.where((m >= 0)[None, :], g,
                       jnp.asarray(default, dtype=dtype))
-        pad = jnp.full((n_pad - n, 128), default, dtype=dtype)
+        pad = jnp.full((n_pad - n, m.shape[0]), default, dtype=dtype)
         return jnp.concatenate([g, pad], axis=0)
 
     out = {

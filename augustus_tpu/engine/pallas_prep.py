@@ -33,39 +33,63 @@ def _model_key(gold: GoldEngine) -> int:
 
 
 def _make_fused(jg: JGold, meta: OverlayMeta, n: int):
-    """(jitted fn, cell) for one static configuration."""
+    """(callable fn, cell) for one static configuration.
+
+    Two jits with a device-resident handoff: the prep graph (JGold +
+    build + pack) and the expand+kernel program.  Fusing them into one
+    jit was measured ~2x slower at 1 Mb (XLA rematerializes prep values
+    into the expanded planes); the split keeps the compact tables as a
+    materialization point."""
     import jax
 
     cell: dict = {}
 
-    def fullrun(codes, stairs, ov, cls_blk):
+    def prep_run(codes, stairs, ov, cls_blk):
         from .device import build_tracks
-        from .pallas_pack import expand_arrays
-        from .pallas_scan import build_call
         with U.use_jax():
             jg.device_prepare(codes, stairs, meta, ov)
             tracks = build_tracks(jg)
             static, arrays = pack_tracks(tracks, cls_blk=cls_blk)
         cell["static"] = static
-        nm = 1 + len(static.fixed_groups)
-        cmask = np.zeros((nm, 64), dtype=np.int32)
-        for s in static.chain_states:
-            cmask[0, s] = 1
-        for gi, g in enumerate(static.fixed_groups):
-            for s in g.states:
-                cmask[gi + 1, s] = 1
-        call = build_call(static)
-        p = expand_arrays(static, arrays)
-        bps, vfin, vdbg = call(
-            cls_blk, p["sp_state"], p["sp_geo"], p["sp_convH"],
-            p["ip_conv"], p["ip_misc"], p["xh_plane"], p["xi_plane"],
-            p["hw_hbm"], p["gcum_hbm"], p["msk_hbm"],
-            arrays["ltc_all"], arrays["lt_T"], arrays["sel_pack"],
-            arrays["lv_pack"], arrays["v0"], arrays["l0"], arrays["a0"],
-            cmask)
-        return bps, vfin
+        return arrays
 
-    return jax.jit(fullrun), cell
+    prep_jit = jax.jit(prep_run)
+
+    def fn(codes, stairs, ov, cls_blk):
+        import time as _t
+        from .. import stats
+        t0 = _t.time()
+        arrays = prep_jit(codes, stairs, ov, cls_blk)
+        np.asarray(arrays["stab"][0, 0])       # sync (tunneled platform)
+        stats.add("dev_prep", _t.time() - t0)
+        kjit = cell.get("kjit")
+        if kjit is None:
+            static = cell["static"]
+            nm = 1 + len(static.fixed_groups)
+            cmask = np.zeros((nm, 64), dtype=np.int32)
+            for s in static.chain_states:
+                cmask[0, s] = 1
+            for gi, g in enumerate(static.fixed_groups):
+                for s in g.states:
+                    cmask[gi + 1, s] = 1
+
+            def kernel_run(a, cb):
+                from .pallas_pack import expand_arrays
+                from .pallas_scan import build_call
+                call = build_call(static)
+                p = expand_arrays(static, a)
+                bps, vfin, vdbg = call(
+                    cb, p["sp_state"], p["sp_geo"], p["sp_convH"],
+                    p["ip_conv"], p["ip_misc"], p["xh_plane"],
+                    p["xi_plane"], p["hw_hbm"], p["gcum_hbm"],
+                    p["msk_hbm"], a["ltc_all"], a["lt_T"], a["sel_pack"],
+                    a["lv_pack"], a["v0"], a["l0"], a["a0"], cmask)
+                return bps, vfin
+
+            kjit = cell["kjit"] = jax.jit(kernel_run, donate_argnums=(0,))
+        return kjit(arrays, cls_blk)
+
+    return fn, cell
 
 
 def try_device_decode(gold: GoldEngine, codes: np.ndarray, softmask,

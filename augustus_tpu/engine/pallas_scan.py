@@ -306,7 +306,7 @@ def make_kernel(st: PKStatic):
                 vprev = VC[:, :]                              # (1, 64)
                 sps = SPS[pl.ds(jj, 1), 0:64]                 # (1, 64)
                 spg = SPG[pl.ds(jj, 1), 0:64]
-                sph = SPH[pl.ds(jj, 1), :]                    # (1, 128)
+                sph = SPH[pl.ds(jj, 1), :]                    # (1, 256)
                 ipm = IPM[pl.ds(jj, 1), :]                    # (1, 128) i32
                 ipc = IPC[pl.ds(jj, 1), :]
                 f_col = W + (jj // 128) * 128                 # LM flush edge
@@ -475,6 +475,9 @@ def make_kernel(st: PKStatic):
                             bvec = (j + cv.a_off - var.len_hi) + widx
                             okb = ((bvec >= smin) & (bvec <= smax) &
                                    (widx < wd))
+                            if var.g2row >= 0:
+                                G2 = _winread(GS, var.g2row + phi, csG, WPv)
+                                G = jnp.where(widx >= var.g2_from, G2, G)
                             base_sc = (L + G) + lvd_p
                             if cv.hint is not None:
                                 XHrow = XH[pl.ds(jj, 1), :]
@@ -482,12 +485,32 @@ def make_kernel(st: PKStatic):
                                 base_sc = base_sc + hint_quot(
                                     cv.hint, HW, XHrow, XIrow, csG, WPv,
                                     j, cv.a_off, var.len_hi)
-                            score = jnp.where(okb & (L > GATE) & (G > GATE),
-                                              base_sc, NEGF)
-                            sbest, ridx = _last_argmax_lane(score, WPv)
-                            H = _extract(sph, var.h_lane, 128, F32_NEG)
-                            vbest = jnp.where((sbest > GATE) & (H > GATE),
-                                              sbest + H, NEGF)
+                            if var.hv_base >= 0:
+                                # merged short band: per-length H vector
+                                # (H folded before the max; fl monotone ->
+                                # identical max VALUE to the per-variant
+                                # "max then +H" order, ties resolved to
+                                # the smallest length as before)
+                                Hv = sph[0:1,
+                                         var.hv_base: var.hv_base + wd]
+                                Hvp = jnp.concatenate(
+                                    [Hv, jnp.full((1, WPv - wd), F32_NEG,
+                                                  jnp.float32)], axis=1)
+                                score = jnp.where(
+                                    okb & (L > GATE) & (G > GATE) &
+                                    (Hvp > GATE), base_sc + Hvp, NEGF)
+                                sbest, ridx = _last_argmax_lane(score, WPv)
+                                vbest = jnp.where(sbest > GATE, sbest,
+                                                  jnp.float32(NEGF))
+                            else:
+                                score = jnp.where(
+                                    okb & (L > GATE) & (G > GATE),
+                                    base_sc, NEGF)
+                                sbest, ridx = _last_argmax_lane(score, WPv)
+                                H = _extract(sph, var.h_lane, 256, F32_NEG)
+                                vbest = jnp.where((sbest > GATE) &
+                                                  (H > GATE),
+                                                  sbest + H, NEGF)
                             take = vbest > best
                             prow = PMA[pl.ds(csL + ridx, 1), :]
                             if cv.frame_mode:
@@ -603,7 +626,7 @@ def build_call(st: PKStatic, interpret: bool = False):
             pltpu.VMEM((NHWs, W + BLK + SLACK), jnp.float32),    # HW
             pltpu.VMEM((BLK, 128), jnp.float32),             # SPS
             pltpu.VMEM((BLK, 128), jnp.float32),             # SPG
-            pltpu.VMEM((BLK, 128), jnp.float32),             # SPH
+            pltpu.VMEM((BLK, 256), jnp.float32),             # SPH
             pltpu.VMEM((BLK, 128), jnp.int32),               # IPC
             pltpu.VMEM((BLK, 128), jnp.int32),               # IPM
             pltpu.VMEM((BLK, 128), jnp.float32),             # XH

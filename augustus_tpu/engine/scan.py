@@ -181,17 +181,20 @@ def split_tracks(tr: DPTracks):
     arrays["lane_trans"] = tr.lane_trans
 
     # ---- chain / fixed -------------------------------------------------
-    chain_s = tuple(ChainStatic(cs.state, scol(cs.emi[cls, pos]))
+    chain_s = tuple(ChainStatic(cs.state, scol(U.class_pick(cs.emi, cls)))
                     for cs in tr.chain)
     fixed_s = []
     for fs in tr.fixed:
         extra = -1
         if fs.kind == 1:
-            extra = scol(xp.asarray(tr.log_1mpsi)[cls])
+            extra = scol(U.class_pick(xp.asarray(tr.log_1mpsi)[:, None]
+                                      + xp.zeros((1, n)), cls))
         elif fs.kind == 2:
-            extra = scol(xp.asarray(tr.log_geo_ass)[cls, fs.state])
+            extra = scol(U.class_pick(
+                xp.asarray(tr.log_geo_ass)[:, fs.state][:, None]
+                + xp.zeros((1, n)), cls))
         fixed_s.append(FixedStatic(fs.state, fs.jump, fs.kind, fs.lane,
-                                   scol(fs.emi[cls, pos]), extra))
+                                   scol(U.class_pick(fs.emi, cls)), extra))
 
     # ---- pool partition ------------------------------------------------
     g_ids, cum_ids = [], []
@@ -239,7 +242,7 @@ def split_tracks(tr: DPTracks):
             if a.shape[0] == 1:
                 vals = a[0]
             else:
-                vals = a[cls, pos]
+                vals = U.class_pick(a, cls)
             h_cols[pid] = scol(vals)
         return h_cols[pid]
 
@@ -247,11 +250,12 @@ def split_tracks(tr: DPTracks):
     lessd_s = []
     for li, ls in enumerate(tr.lessd):
         cum = tr.pool[ls.cum_id]      # (C, n+1)
-        cumj = cum[cls, pos + 1]      # (advanced indexing, xp-safe)
+        cumj = U.class_pick(U.sg(cum, 1, n), cls)
         lessd_s.append(LessDStatic(
             state=ls.state, lane=ls.lane, window=ls.window,
             cum_id=cum_map[ls.cum_id], cumj_col=scol(cumj),
-            psi_col=scol(xp.asarray(tr.log_psi)[cls]),
+            psi_col=scol(U.class_pick(xp.asarray(tr.log_psi)[:, None]
+                                      + xp.zeros((1, n)), cls)),
             jsel_col=icol(ls.j_stopsel), jgate_col=icol(ls.j_gate),
             lenvec_key=f"lessd{li}_lenvec"))
         arrays[f"lessd{li}_lenvec"] = ls.lenvec[::-1].copy()
@@ -270,7 +274,7 @@ def split_tracks(tr: DPTracks):
     # ---- pinned --------------------------------------------------------
     pinned_s = tuple(PinnedStatic(
         state=ps.state, lane=ps.lane,
-        score_col=scol(ps.score[cls, pos]), eop_col=icol(ps.eop))
+        score_col=scol(U.class_pick(ps.score, cls)), eop_col=icol(ps.eop))
         for ps in tr.exon_pinned)
 
     # ---- sparse exon-hint machinery --------------------------------------

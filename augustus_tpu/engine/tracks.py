@@ -127,15 +127,15 @@ def motif_score_fwd(codes: np.ndarray, motif: Motif) -> np.ndarray:
                                             dtype=ids_part.dtype)])
     logw = asarr(_safe_log_np(motif.window_probs))   # (n_win, 4^{k+1})
     from . import xputil as U
-    starts = U.arange(n - motif.k) + motif.k
-    acc = xp.zeros(starts.shape[0], dtype=ftype())
+    sfull = U.arange(n)
+    acc = xp.zeros(n, dtype=ftype())
     for i in range(motif.n):
-        pat_start = xp.clip(starts + i - motif.k, 0, n - 1)
-        in_range = (starts + i - motif.k) <= n - 1
-        pid = ids[pat_start]
+        sh = i - motif.k
+        pid = U.sg(ids, sh, n)                 # static shift, not a gather
+        in_range = (sfull + sh) <= n - 1
         v = in_range & (pid >= 0)
         acc = acc + xp.where(v, logw[i, xp.where(v, pid, 0)], LOG_QUARTER)
-    return xp.concatenate([xp.full((motif.k,), NEG_INF, dtype=ftype()), acc])
+    return xp.where(sfull >= motif.k, acc, NEG_INF)
 
 
 def motif_score_rc(codes: np.ndarray, motif: Motif) -> np.ndarray:
@@ -153,12 +153,11 @@ def motif_score_rc(codes: np.ndarray, motif: Motif) -> np.ndarray:
         if ids_part.shape[0] < n else ids_part
     logw = asarr(_safe_log_np(motif.window_probs))
     from . import xputil as U
-    starts = U.arange(n)
-    acc = xp.zeros(starts.shape[0], dtype=ftype())
+    sfull = U.arange(n)
+    acc = xp.zeros(n, dtype=ftype())
     for i in range(motif.n):
-        pat_start = xp.clip(starts + i, 0, n - 1)
-        in_range = (starts + i) <= n - 1
-        pid = ids[pat_start]
+        pid = U.sg(ids, i, n)
+        in_range = (sfull + i) <= n - 1
         v = in_range & (pid >= 0)
         acc = acc + xp.where(v, logw[motif.n - 1 - i, xp.where(v, pid, 0)],
                              LOG_QUARTER)
@@ -182,6 +181,39 @@ def dinuc_at(codes: np.ndarray, a: int, b: int) -> np.ndarray:
     n = codes.shape[0]
     head = (codes[:-1] == a) & (codes[1:] == b)
     return xp.concatenate([head, xp.zeros(min(n, 1), dtype=bool)])
+
+
+def is_possible_dss_sh(dss_ok: np.ndarray, c: int) -> np.ndarray:
+    """is_possible_dss at pos = i + c (static shift; slice not gather)."""
+    from . import xputil as U
+    n = dss_ok.shape[0]
+    pos = U.arange(n) + c
+    ok = (pos >= 1) & (pos <= n - 2)
+    return ok & U.sg(dss_ok, c, n)
+
+
+def is_possible_rdss_sh(rdss_ok: np.ndarray, c: int) -> np.ndarray:
+    from . import xputil as U
+    n = rdss_ok.shape[0]
+    pos = U.arange(n) + c
+    ok = (pos >= 1) & (pos <= n - 2)
+    return ok & U.sg(rdss_ok, c - 1, n)
+
+
+def is_possible_ass_sh(ass_ok: np.ndarray, c: int) -> np.ndarray:
+    from . import xputil as U
+    n = ass_ok.shape[0]
+    pos = U.arange(n) + c
+    ok = (pos >= 1) & (pos <= n - 2)
+    return ok & U.sg(ass_ok, c - 1, n)
+
+
+def is_possible_rass_sh(rass_ok: np.ndarray, c: int) -> np.ndarray:
+    from . import xputil as U
+    n = rass_ok.shape[0]
+    pos = U.arange(n) + c
+    ok = (pos >= 1) & (pos <= n - 2)
+    return ok & U.sg(rass_ok, c, n)
 
 
 def is_possible_dss(dss_ok: np.ndarray, pos) -> np.ndarray:
@@ -242,29 +274,31 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
     ds, de = cn.dss_start, cn.dss_end
     base = U.arange(n)
 
+    from . import xputil as U
+    c64 = codes.astype(np.int64)
+    comp_t = asarr(genetics.COMPLEMENT)
+    comp64 = comp_t[codes].astype(np.int64)
+    pos_i = U.arange(n)
+
     def window_ids(offsets):
-        """Pattern id over the given absolute offset arrays (big-endian),
-        -1 where any base is N or out of range."""
-        ids = xp.zeros(n, dtype=np.int64)
+        """Pattern id from STATIC integer offsets (big-endian), -1 where
+        any base is N or out of range; shifts instead of gathers."""
+        ids = xp.zeros(n, dtype=np.int64 if xp is np else np.int32)
         bad = xp.zeros(n, dtype=bool)
         for off in offsets:
-            inr = (off >= 0) & (off < n)
-            c = xp.where(inr, codes[xp.clip(off, 0, n - 1)].astype(np.int64),
-                         np.int64(genetics.N))
+            inr = (pos_i + off >= 0) & (pos_i + off < n)
+            c = xp.where(inr, U.sg(c64, off, n), np.int64(genetics.N))
             bad = bad | (c == genetics.N)
             ids = (ids << 2) | xp.where(c == genetics.N, 0, c)
         return xp.where(bad, -1, ids)
 
-    comp_t = asarr(genetics.COMPLEMENT)
-
     def rc_ids(offsets):
         # complement bases, given in already-reversed offset order
-        ids = xp.zeros(n, dtype=np.int64)
+        ids = xp.zeros(n, dtype=np.int64 if xp is np else np.int32)
         bad = xp.zeros(n, dtype=bool)
         for off in offsets:
-            inr = (off >= 0) & (off < n)
-            cc = comp_t[codes[xp.clip(off, 0, n - 1)]].astype(np.int64)
-            c = xp.where(inr, cc, np.int64(genetics.N))
+            inr = (pos_i + off >= 0) & (pos_i + off < n)
+            c = xp.where(inr, U.sg(comp64, off, n), np.int64(genetics.N))
             bad = bad | (c == genetics.N)
             ids = (ids << 2) | xp.where(c == genetics.N, 0, c)
         return xp.where(bad, -1, ids)
@@ -296,13 +330,13 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
     # forward DSS: possible at base if isPossibleDSS(base+dss_start) and the
     # whole window [base, base+dss_whole-1] is inside the sequence
     whole = cn.dss_whole_size
-    okb = (base + whole <= n) & is_possible_dss(dss_ok, base + ds)
-    offs = [base + i for i in range(ds)] + \
-           [base + ds + DSS_MIDDLE + i for i in range(de)]
+    okb = (base + whole <= n) & is_possible_dss_sh(dss_ok, ds)
+    offs = [i for i in range(ds)] + \
+           [ds + DSS_MIDDLE + i for i in range(de)]
     pid = window_ids(offs)
     valid = pid >= 0
     pc = xp.where(valid, pid, 0)
-    non_gt = ~dinuc_at(codes, G_, T_)[xp.clip(base + ds, 0, n - 1)]
+    non_gt = ~U.sg(dinuc_at(codes, G_, T_), ds, n)
     lp = xp.where(non_gt, log_dssb_n[pc], log_dssb[pc])
     dss_score = xp.where(okb & valid, lp, NEG_INF)
 
@@ -310,13 +344,13 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
     # [base+dss_end, +1], [base+dss_end+2, base+dss_whole-1]; the pattern is
     # the reverse complement read: first the rc of the right part then rc of
     # the left part (reference dSSProb, reverse branch).
-    okb = (base + whole <= n) & is_possible_rdss(rdss_ok, base + de + 1)
-    offs = [base + de + DSS_MIDDLE + ds - 1 - i for i in range(ds)] + \
-           [base + de - 1 - i for i in range(de)]
+    okb = (base + whole <= n) & is_possible_rdss_sh(rdss_ok, de + 1)
+    offs = [de + DSS_MIDDLE + ds - 1 - i for i in range(ds)] + \
+           [de - 1 - i for i in range(de)]
     pid = rc_ids(offs)
     valid = pid >= 0
     pc = xp.where(valid, pid, 0)
-    non_gt = ~dinuc_at(codes, A_, C_)[xp.clip(base + de, 0, n - 1)]
+    non_gt = ~U.sg(dinuc_at(codes, A_, C_), de, n)
     lp = xp.where(non_gt, log_dssb_n[pc], log_dssb[pc])
     rdss_score = xp.where(okb & valid, lp, NEG_INF)
 
@@ -335,13 +369,13 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         # [base+up+ass_start, +1]; pattern = [base+up, +ass_start-1] +
         # [base+up+ass_start+2, ...+ae-1]; motif over [base, base+up-1]
         okb = (base + up + ass_whole <= n) & \
-            is_possible_ass(ass_ok, base + up + asz + 1)
-        offs = [base + up + i for i in range(asz)] + \
-               [base + up + asz + ASS_MIDDLE + i for i in range(ae)]
+            is_possible_ass_sh(ass_ok, up + asz + 1)
+        offs = [up + i for i in range(asz)] + \
+               [up + asz + ASS_MIDDLE + i for i in range(ae)]
         pid = window_ids(offs)
         valid = pid >= 0
         pc = xp.where(valid, pid, 0)
-        non_ag = ~dinuc_at(codes, A_, G_)[xp.clip(base + up + asz, 0, n - 1)]
+        non_ag = ~U.sg(dinuc_at(codes, A_, G_), up + asz, n)
         lpv = xp.where(non_ag, log_assb_n[pc], log_assb[pc])
         lp = xp.where(valid, lpv, inv_lp)
         # motifProb = 0 when base < motif.k (reference aSSProb)
@@ -351,19 +385,18 @@ def build_splice_tracks(codes: np.ndarray, ip: IntronParams, cn: Constants,
         # reverse: "ct" at [base+ae, +1]; pattern rc; motif over
         # [base+ass_whole, +up-1] in rc orientation
         okb = (base + up + ass_whole <= n) & \
-            is_possible_rass(rass_ok, base + ae)
-        offs = [base + ae + ASS_MIDDLE + asz - 1 - i for i in range(asz)] + \
-               [base + ae - 1 - i for i in range(ae)]
+            is_possible_rass_sh(rass_ok, ae)
+        offs = [ae + ASS_MIDDLE + asz - 1 - i for i in range(asz)] + \
+               [ae - 1 - i for i in range(ae)]
         pid = rc_ids(offs)
         valid = pid >= 0
         pc = xp.where(valid, pid, 0)
-        non_ag = ~dinuc_at(codes, C_, T_)[xp.clip(base + ae, 0, n - 1)]
+        non_ag = ~U.sg(dinuc_at(codes, C_, T_), ae, n)
         lpv = xp.where(non_ag, log_assb_n[pc], log_assb[pc])
         lp = xp.where(valid, lpv, inv_lp)
-        motifstart = xp.clip(base + ass_whole, 0, n - 1)
         motifend = base + ass_whole + up
         mot = xp.where(motifend + gcp.ass_motif.k < n,
-                       motif_r[motifstart], up * LOG_QUARTER)
+                       U.sg(motif_r, ass_whole, n), up * LOG_QUARTER)
         rass_score.append(xp.where(okb, lp + mot, NEG_INF))
 
     return SpliceTracks(dss_ok=dss_ok, rdss_ok=rdss_ok, ass_ok=ass_ok,

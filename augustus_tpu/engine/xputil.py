@@ -60,6 +60,49 @@ def asarr(x, dtype=None):
     return A.xp.asarray(x, dtype=dtype)
 
 
+def shift_clip(track, c: int):
+    """out[..., i] = track[..., clip(i + c, 0, L-1)] for a STATIC integer
+    shift, as slice+edge-pad instead of a gather (XLA:TPU lowers n-length
+    index gathers ~15x slower than slices — measured 7.2 ms vs 0.5 ms per
+    op at n=1e6 on v5e).  Works for numpy and traced arrays, and DD."""
+    if isinstance(track, DD):
+        return DD(shift_clip(track.hi, c), shift_clip(track.lo, c))
+    xp = A.xp
+    L = track.shape[-1]
+    if c == 0:
+        return track
+    if c > 0:
+        c = min(c, L - 1)
+        body = track[..., c:]
+        edge = xp.repeat(track[..., -1:], c, axis=-1)
+        return xp.concatenate([body, edge], axis=-1)
+    c = min(-c, L - 1)
+    body = track[..., : L - c]
+    edge = xp.repeat(track[..., :1], c, axis=-1)
+    return xp.concatenate([edge, body], axis=-1)
+
+
+def sg(track, c: int, out_len=None):
+    """shift_clip + optional truncation of the last axis."""
+    out = shift_clip(track, c)
+    if out_len is not None:
+        out = out[..., :out_len]
+    return out
+
+
+def class_pick(arr, cls):
+    """out[..., i] = arr[cls[i], ..., i] without a 2D gather: a static
+    where-chain over the (small) leading class axis."""
+    xp = A.xp
+    if isinstance(arr, DD):
+        return DD(class_pick(arr.hi, cls), class_pick(arr.lo, cls))
+    C = arr.shape[0]
+    out = arr[0]
+    for c in range(1, C):
+        out = xp.where(cls == c, arr[c], out)
+    return out
+
+
 def arange(n, dtype=None):
     """Position index array: numpy on the host, a traced iota under jax
     (an np.arange constant would otherwise be EMBEDDED per expression in

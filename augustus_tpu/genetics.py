@@ -60,7 +60,7 @@ def kmer_ids(codes: np.ndarray, k: int) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.int64)
     c64 = codes.astype(np.int64)
-    ids = xp.zeros(n - k + 1, dtype=np.int64)
+    ids = xp.zeros(n - k + 1, dtype=np.int64 if xp is np else np.int32)
     bad = xp.zeros(n - k + 1, dtype=bool)
     for i in range(k):
         ids = (ids << 2) | xp.where(c64[i:n - k + 1 + i] == N, 0,
@@ -80,7 +80,7 @@ def rc_kmer_ids(codes: np.ndarray, k: int) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.int64)
     comp = A.xp.asarray(COMPLEMENT)[codes].astype(np.int64)
-    ids = xp.zeros(n - k + 1, dtype=np.int64)
+    ids = xp.zeros(n - k + 1, dtype=np.int64 if xp is np else np.int32)
     bad = xp.zeros(n - k + 1, dtype=bool)
     for i in range(k):
         ids = ids | (xp.where(comp[i:n - k + 1 + i] == N, 0,
