@@ -389,12 +389,19 @@ class GoldEngine:
         # stop-codon endPart for terminal/singleG ending at DP base j:
         # stop codon at stppos = j-2 (reference exonmodel.cc:1276-1311)
         c64 = cds.astype(np.int64)
+        # translation-table gating (reference exonmodel.cc:216 'give the
+        # chosen translation table priority over {ochre,amber,opal}prob'):
+        # a codon only scores as a stop if the table says it is one
+        is_stop = self.gcode.is_stop
+        ochre_on = bool(is_stop[genetics.codon_index("taa")])
+        amber_on = bool(is_stop[genetics.codon_index("tag")])
+        opal_on = bool(is_stop[genetics.codon_index("tga")])
         if n >= 3:
             i0, i1, i2 = c64[:-2], c64[1:-1], c64[2:]
             A, C, G, Tt = (genetics.A, genetics.C, genetics.G, genetics.T)
-            taa = (i0 == Tt) & (i1 == A) & (i2 == A)
-            tag = (i0 == Tt) & (i1 == A) & (i2 == G)
-            tga = (i0 == Tt) & (i1 == G) & (i2 == A)
+            taa = (i0 == Tt) & (i1 == A) & (i2 == A) & ochre_on
+            tag = (i0 == Tt) & (i1 == A) & (i2 == G) & amber_on
+            tga = (i0 == Tt) & (i1 == G) & (i2 == A) & opal_on
             per_pos = xp.where(
                 taa, np.log(cn.ochreprob),
                 xp.where(tag, np.log(cn.amberprob),
@@ -410,9 +417,9 @@ class GoldEngine:
 
         # reverse stop codon beginPart (rsingleG/rterminal) at beginOfBioExon
         if n >= 3:
-            tta = (i0 == Tt) & (i1 == Tt) & (i2 == A)
-            cta = (i0 == C) & (i1 == Tt) & (i2 == A)
-            tca = (i0 == Tt) & (i1 == C) & (i2 == A)
+            tta = (i0 == Tt) & (i1 == Tt) & (i2 == A) & ochre_on
+            cta = (i0 == C) & (i1 == Tt) & (i2 == A) & amber_on
+            tca = (i0 == Tt) & (i1 == C) & (i2 == A) & opal_on
             rhead = xp.where(
                 tta, np.log(cn.ochreprob),
                 xp.where(cta, np.log(cn.amberprob),
@@ -639,7 +646,7 @@ class GoldEngine:
                         bp_state[j, s] = preds[bi]
                         bp_base[j, s] = eops[bi]
                 if need_forward:
-                    resf = self._state_cands(j, c, s, f)
+                    resf = self._heat_cands(f, self._state_cands(j, c, s, f))
                     if resf is not None:
                         wf = resf[0]
                         m = np.max(wf)
@@ -719,7 +726,8 @@ class GoldEngine:
         types = self.sg.state_types
         while base > 0:
             c = int(self.stairs[base])
-            res = self._state_cands(base, c, state, self.f)
+            res = self._heat_cands(
+                self.f, self._state_cands(base, c, state, self.f))
             if res is None:
                 raise RuntimeError(
                     f"sampling stuck at base {base} state {state}")
@@ -729,6 +737,22 @@ class GoldEngine:
             base, state = int(eops[k]), int(preds[k])
         segs.reverse()
         return segs
+
+    def _heat_cands(self, table, res):
+        """Sampling-temperature heating (reference include/types.hh:387,
+        lldouble.hh heated(): transEmiProb^((8-temperature)/8) in the
+        FORWARD recursion and the sampling walk only; Viterbi is
+        unheated).  Candidate totals are pv + transEmi-log with
+        pv = table[max(eop, 0), pred] (every candidate builder's
+        convention), so the heat factor applies to (w - pv)."""
+        t = getattr(self.cn, "temperature", 0)
+        if res is None or not t:
+            return res
+        h = (8.0 - t) / 8.0
+        w, preds, eops = res
+        pv = table[np.maximum(np.asarray(eops), 0), preds]
+        wh = np.where(w > NEG_INF, pv + h * (w - pv), NEG_INF)
+        return wh, preds, eops
 
     @staticmethod
     def _sample_options(rng, logw: np.ndarray) -> int:

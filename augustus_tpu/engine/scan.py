@@ -944,13 +944,30 @@ class ForwardEngine:
 
     def __init__(self, tracks: DPTracks, n_true: Optional[int] = None,
                  bucket: bool = False):
-        from .device import bucket_length, pad_tracks
+        from .device import bucket_length, pad_tracks, UnsupportedByDevice
         self.n_true = tracks.n if n_true is None else n_true
         if bucket:
             pad_tracks(tracks, bucket_length(tracks.n))
         self.tracks = tracks
         self.static, self.arrays = split_tracks(tracks)
         self.arrays["n_true"] = np.int32(self.n_true)
+        # sampling-temperature heating (reference types.hh:387): every
+        # candidate total is linear in the log-parameter tracks, so
+        # transEmiProb^h == scaling every float log table by h.  The
+        # sparse-hint machinery mixes COUNT columns into the scalar
+        # table, which must not scale -> gold fallback there.
+        self._heat = (8.0 - getattr(tracks.gold.cn, "temperature", 0)) / 8.0
+        if self._heat != 1.0:
+            if self.static.NHW:
+                raise UnsupportedByDevice(
+                    "temperature heating with sparse exon hints")
+            a = dict(self.arrays)
+            for k, v in list(a.items()):
+                v = np.asarray(v)
+                if v.dtype == np.float32 and k not in ("log_init",
+                                                       "log_term"):
+                    a[k] = (v * np.float32(self._heat)).astype(np.float32)
+            self.arrays = a
         fn = _FWD_CACHE.get(self.static)
         if fn is None:
             fn = jax.jit(make_forward_fn(self.static))
@@ -966,7 +983,7 @@ class ForwardEngine:
         f = np.full((n, self.tracks.S), float(F32_NEG), dtype=np.float64)
         f[0] = np.asarray(v0, dtype=np.float64)
         f[1:] = np.asarray(frows, dtype=np.float64)[: n - 1]
-        base = self.tracks.base
+        base = np.asarray(self.tracks.base) * self._heat
         f = np.where(f > float(F32_NEG) / 2, f + base[:n, None], -np.inf)
         return f
 
