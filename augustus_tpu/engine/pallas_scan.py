@@ -362,78 +362,131 @@ def make_kernel(st: PKStatic):
                         lambda v=v, pred=pred, offv=offv: (v, pred, offv))
 
                 # ---- lessD ----------------------------------------------
+                # states sharing a bare splice lane share the same end
+                # gate (the psi columns are NEG at identical positions):
+                # one cond per LANE GROUP instead of one per state — same
+                # body work when live, 3x fewer scalar-unit conds
                 sc_vals: List = []     # (state, val, pred, off) scalars
+                lessd_groups: Dict[int, list] = {}
                 for lsd in st.lessd:
-                    W5 = lsd.window
-                    WP5 = _ru(W5)
-                    psi = _extract(sps, lsd.state, 64, F32_NEG)
+                    lessd_groups.setdefault(lsd.lane, []).append(lsd)
+                for grp_ls in lessd_groups.values():
+                    psis = [_extract(sps, lsd.state, 64, F32_NEG)
+                            for lsd in grp_ls]
+                    any_psi = psis[0]
+                    for pv_ in psis[1:]:
+                        any_psi = jnp.maximum(any_psi, pv_)
 
-                    def flsd(lsd=lsd, W5=W5, WP5=WP5, psi=psi, jj=jj, j=j,
-                             ipm=ipm, f_col=f_col):
+                    def flsd_grp(grp_ls=grp_ls, psis=psis, jj=jj, j=j,
+                                 ipm=ipm, f_col=f_col):
+                        outs = []
+                        # the window/lane reads are per-state (cum rows
+                        # and stop masks differ), but the L window is
+                        # shared per lane — hoist it
+                        W5 = grp_ls[0].window
+                        WP5 = _ru(W5)
                         cs = jj + W - W5
-                        L = _lm_window(LM, PM, lsd.lane, cs, WP5, f_col)
-                        cumw = _winread(GS, lsd.cum_row, cs, WP5)
-                        cumj = _col_scalar(GS, lsd.cum_row,
-                                           jj + W, F32_NEG)
-                        bv = _winread(MS, lsd.valid_row, cs, WP5)
-                        bs = _winread(MS, lsd.stop_row, cs, WP5)
-                        jsel = _extract(ipm, lsd.jsel_lane, 128, INT_FILL)
-                        lvd = lv_ref[0:1, lsd.lv_off: lsd.lv_off + W5]
+                        Lsh = _lm_window(LM, PM, grp_ls[0].lane, cs, WP5,
+                                         f_col)
                         widx = _iota_lane(WP5)
                         inw = widx < W5
                         eops_ok = ((j - W5) + widx) >= 0
-                        stop = (bs & jsel) != 0
-                        ok = inw & eops_ok & (bv != 0) & (~stop)
-                        lvd_p = jnp.concatenate(
-                            [lvd, jnp.full((1, WP5 - W5), F32_NEG,
-                                           jnp.float32)], axis=1)
-                        seg = cumj - cumw
-                        score = jnp.where(ok & (L > GATE),
-                                          ((L + seg) + lvd_p) + psi, NEGF)
-                        best, ridx = _last_argmax_lane(score, WP5)
-                        prow = PMA[pl.ds(jj + W - W5 + ridx, 1), :]
-                        p = _extract(prow, lsd.lane, 64, INT_FILL)
-                        val = jnp.where(best > GATE, best,
-                                        jnp.float32(NEGF))
-                        return val, p, (W5 - ridx).astype(jnp.int32)
+                        prow_cache = {}
+                        for lsd, psi in zip(grp_ls, psis):
+                            assert lsd.window == W5 and \
+                                lsd.lane == grp_ls[0].lane
+                            cumw = _winread(GS, lsd.cum_row, cs, WP5)
+                            cumj = _col_scalar(GS, lsd.cum_row,
+                                               jj + W, F32_NEG)
+                            bv = _winread(MS, lsd.valid_row, cs, WP5)
+                            bs = _winread(MS, lsd.stop_row, cs, WP5)
+                            jsel = _extract(ipm, lsd.jsel_lane, 128,
+                                            INT_FILL)
+                            lvd = lv_ref[0:1,
+                                         lsd.lv_off: lsd.lv_off + W5]
+                            stop = (bs & jsel) != 0
+                            ok = inw & eops_ok & (bv != 0) & (~stop)
+                            lvd_p = jnp.concatenate(
+                                [lvd, jnp.full((1, WP5 - W5), F32_NEG,
+                                               jnp.float32)], axis=1)
+                            seg = cumj - cumw
+                            score = jnp.where(ok & (Lsh > GATE),
+                                              ((Lsh + seg) + lvd_p) + psi,
+                                              NEGF)
+                            best, ridx = _last_argmax_lane(score, WP5)
+                            prow = PMA[pl.ds(jj + W - W5 + ridx, 1), :]
+                            p = _extract(prow, lsd.lane, 64, INT_FILL)
+                            val = jnp.where(best > GATE, best,
+                                            jnp.float32(NEGF))
+                            outs.append(val)
+                            outs.append(p)
+                            outs.append((W5 - ridx).astype(jnp.int32))
+                        return tuple(outs)
 
-                    val, p, off = jax.lax.cond(
-                        psi > GATE, flsd,
-                        lambda: (jnp.float32(NEGF), jnp.int32(0), jnp.int32(1)))
-                    sc_vals.append((lsd.state, val, p, off))
+                    def flsd_none(grp_ls=grp_ls):
+                        outs = []
+                        for _ in grp_ls:
+                            outs.extend([jnp.float32(NEGF), jnp.int32(0),
+                                         jnp.int32(1)])
+                        return tuple(outs)
+
+                    flat = jax.lax.cond(any_psi > GATE, flsd_grp, flsd_none)
+                    for i, lsd in enumerate(grp_ls):
+                        sc_vals.append((lsd.state, flat[3 * i],
+                                        flat[3 * i + 1], flat[3 * i + 2]))
 
                 # ---- pinned ---------------------------------------------
-                for pn in st.pinned:
-                    sc = _extract(sps, pn.state, 64, F32_NEG)
+                # one cond over ALL pinned states (each is live at only a
+                # few % of positions; four separate lax.conds cost more
+                # scalar-unit overhead per step than one combined body)
+                if st.pinned:
+                    scs = [_extract(sps, pn.state, 64, F32_NEG)
+                           for pn in st.pinned]
+                    any_sc = scs[0]
+                    for scv in scs[1:]:
+                        any_sc = jnp.maximum(any_sc, scv)
 
-                    def fpin(pn=pn, sc=sc, ipm=ipm, j=j, jj=jj):
-                        eop = _extract(ipm, pn.eop_lane, 128, INT_FILL)
-                        eop = jnp.maximum(eop, -W)
-                        blk0 = j - jj
+                    def fpin_all(scs=scs, ipm=ipm, j=j, jj=jj):
+                        outs = []
+                        for pn, sc in zip(st.pinned, scs):
+                            eop = _extract(ipm, pn.eop_lane, 128, INT_FILL)
+                            eop = jnp.maximum(eop, -W)
+                            blk0 = j - jj
 
-                        def recent():
-                            row = PM[pl.ds(eop - blk0 + W, 1), :]
-                            arow = PMA[pl.ds(eop - blk0 + W, 1), :]
-                            return (_extract(row, pn.lane, 64, F32_NEG),
-                                    _extract(arow, pn.lane, 64, INT_FILL))
+                            def recent(eop=eop, pn=pn):
+                                row = PM[pl.ds(eop - blk0 + W, 1), :]
+                                arow = PMA[pl.ds(eop - blk0 + W, 1), :]
+                                return (_extract(row, pn.lane, 64, F32_NEG),
+                                        _extract(arow, pn.lane, 64,
+                                                 INT_FILL))
 
-                        def old():
-                            rc = jnp.remainder(eop + W, PHW)
-                            return (_col_scalar(PHL, pn.lane, rc,
-                                                F32_NEG),
-                                    _col_scalar(PHLA, pn.lane, rc,
-                                                INT_FILL))
+                            def old(eop=eop, pn=pn):
+                                rc = jnp.remainder(eop + W, PHW)
+                                return (_col_scalar(PHL, pn.lane, rc,
+                                                    F32_NEG),
+                                        _col_scalar(PHLA, pn.lane, rc,
+                                                    INT_FILL))
 
-                        lv, la = jax.lax.cond(eop >= blk0 - W, recent, old)
-                        val = jnp.where(lv > GATE, lv + sc,
-                                        jnp.float32(NEGF))
-                        return val, la,\
-                            (j - eop).astype(jnp.int32)
+                            lv, la = jax.lax.cond(eop >= blk0 - W, recent,
+                                                  old)
+                            val = jnp.where((lv > GATE) & (sc > GATE),
+                                            lv + sc, jnp.float32(NEGF))
+                            outs.append(val)
+                            outs.append(la)
+                            outs.append((j - eop).astype(jnp.int32))
+                        return tuple(outs)
 
-                    val, p, off = jax.lax.cond(
-                        sc > GATE, fpin,
-                        lambda: (jnp.float32(NEGF), jnp.int32(0), jnp.int32(1)))
-                    sc_vals.append((pn.state, val, p, off))
+                    def fpin_none():
+                        outs = []
+                        for _ in st.pinned:
+                            outs.extend([jnp.float32(NEGF), jnp.int32(0),
+                                         jnp.int32(1)])
+                        return tuple(outs)
+
+                    flat = jax.lax.cond(any_sc > GATE, fpin_all, fpin_none)
+                    for i, pn in enumerate(st.pinned):
+                        sc_vals.append((pn.state, flat[3 * i],
+                                        flat[3 * i + 1], flat[3 * i + 2]))
 
                 # ---- exon convolutions ----------------------------------
                 for cv in st.convs:
