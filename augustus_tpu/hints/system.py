@@ -339,20 +339,28 @@ class SeqHints:
 
     def _conformance(self) -> None:
         gs = self.groups
+        # begin/end are invariant during conformance (only the counters
+        # mutate); hoist them out of the O(pairs) loop — the properties
+        # recompute min/max over the hint list on every access
+        begs = [g.begin for g in gs]
+        ends = [g.end for g in gs]
         for i, g1 in enumerate(gs):
             # with itself (copynumber)
             for f in g1.hints:
                 f.num_supporting += g1.copynumber - 1
-            for g2 in gs[i + 1:]:
-                if g2.begin > g1.end:
+            b1, e1 = begs[i], ends[i]
+            for j in range(i + 1, len(gs)):
+                if begs[j] > e1:
                     break
-                self._update_conf(g1, g2)
-                self._update_conf(g2, g1)
+                g2 = gs[j]
+                self._update_conf(g1, g2, b1, e1, begs[j], ends[j])
+                self._update_conf(g2, g1, begs[j], ends[j], b1, e1)
 
     @staticmethod
-    def _update_conf(g1: HintGroup, g2: HintGroup) -> None:
+    def _update_conf(g1: HintGroup, g2: HintGroup,
+                     b1: int, e1: int, b2: int, e2: int) -> None:
         """reference HintGroup::updateFeatureConformance (hints.cc:660)."""
-        if g1.end < g2.begin or g1.begin > g2.end:
+        if e1 < b2 or b1 > e2:
             return
         lowerpriority = (g2.priority < g1.priority and g2.priority >= 0)
         for f in g1.hints:

@@ -81,9 +81,26 @@ def _classify(freqs: np.ndarray, decomp: Decomposition) -> np.ndarray:
         return np.zeros(freqs.shape[0], dtype=np.int32)
     if decomp.weighing_type == 3 and decomp.weight_matrix is not None:
         # weight = 1 + 9 exp(-z M z^T): maximizing it == minimizing z M z^T
-        z = freqs[:, None, :] - decomp.comps[None, :, :]   # (n, cls, 4)
-        q = np.einsum("ncj,jk,nck->nc", z, decomp.weight_matrix, z)
-        return np.argmin(q, axis=1).astype(np.int32)
+        # with z = f - c_k.  Expanding, z M z^T = f M f^T - f(M+M^T)c_k^T
+        # + c_k M c_k^T; the f M f^T term is class-independent, so the
+        # argmin reduces to an affine form per class — one (n,4)@(4,cls)
+        # matmul instead of an (n,cls,4) einsum.
+        M = decomp.weight_matrix
+        C = decomp.comps                                    # (cls, 4)
+        B = (M + M.T) @ C.T                                 # (4, cls)
+        a = np.einsum("cj,jk,ck->c", C, M, C)               # (cls,)
+        q = a[None, :] - freqs @ B                          # (n, cls)
+        out = np.argmin(q, axis=1).astype(np.int32)
+        # near-ties (symmetric windows hit them exactly): the affine
+        # rounding can break them differently than the quadratic the
+        # reference evaluates — recompute just those rows exactly
+        part = np.partition(q, 1, axis=1)
+        tie = np.flatnonzero(part[:, 1] - part[:, 0] < 1e-9)
+        if tie.size:
+            z = freqs[tie, None, :] - decomp.comps[None, :, :]
+            qe = np.einsum("ncj,jk,nck->nc", z, decomp.weight_matrix, z)
+            out[tie] = np.argmin(qe, axis=1).astype(np.int32)
+        return out
     if decomp.weighing_type == 2:
         # same-gc-class indicator; ties resolved to the first max
         gc1 = freqs[:, 1] + freqs[:, 2]
@@ -129,8 +146,10 @@ def compute_stairs(codes: np.ndarray, cn: Constants, decomp: Decomposition
 
     mid_lo, mid_hi = lo + 1, n - hi    # i in [mid_lo, mid_hi] inclusive
     if mid_hi >= mid_lo:
-        starts = np.arange(mid_lo, mid_hi + 1) - lo
-        counts = (cum[starts + win] - cum[starts]).astype(np.float64)
+        s0 = mid_lo - lo        # contiguous run: slice, don't gather
+        nm = mid_hi - mid_lo + 1
+        counts = (cum[s0 + win: s0 + win + nm]
+                  - cum[s0: s0 + nm]).astype(np.float64)
         sums = counts.sum(axis=1)
         freqs = np.where(sums[:, None] > 0, counts / np.maximum(sums, 1)[:, None],
                          first_freqs[None, :])
