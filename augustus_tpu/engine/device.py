@@ -808,6 +808,16 @@ def _pinned_hint_quot(eng, aL: bool, aR: bool, exclass: int,
     return quot
 
 
+def _pad_ids_n(ids, n: int):
+    """Pad a (n-k+1,) kmer-id track to length n with -1 (positions past
+    the valid range are always masked by the callers' okb gates)."""
+    xp = U.A.xp
+    m = ids.shape[0]
+    if m >= n:
+        return ids[:n]
+    return xp.concatenate([ids, xp.full((n - m,), -1, dtype=ids.dtype)])
+
+
 def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
                   ) -> ExonPinnedState:
     """rterminal*/rsingleG: single begin candidate b = ORFleft+2 per j
@@ -859,15 +869,42 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
     over_val = (b - right - 1) * LOG4
     lsh = right - b                                     # in [0, k] => short
     short_val = [xp.zeros(n) for _ in range(C)]
-    for m in range(0, k + 1):
-        rids = eng.rc_kmer_ids_full(m + 1)
-        okb = (b >= 0) & (b <= n - (m + 1))
-        pid = xp.where(okb, rids[xp.clip(b, 0, max(n - (m + 1), 0))], -1)
-        for c in range(C):
-            lplsm = U.asarr(eng.log_pls(c, m)[int((frc + m) % 3)])
-            v = xp.where(pid >= 0, lplsm[xp.clip(pid, 0, None)],
-                         (m + 1) * log_nc)
-            short_val[c] = xp.where(lsh == m, v, short_val[c])
+    if U.A.is_jax:
+        # batched: ONE (k+1)-row gather for the pattern ids (positions
+        # where the per-m clip bound differed are masked by okb anyway)
+        # and ONE flat gather over the padded per-(c,m) tables — n-index
+        # gathers are the dominant prep-graph cost on XLA:TPU
+        RIDS = U.stk([_pad_ids_n(eng.rc_kmer_ids_full(m + 1), n)
+                      for m in range(k + 1)])
+        rid_at_b = RIDS[:, xp.clip(b, 0, n - 1)]          # (k+1, n)
+        TAB = 4 ** (k + 1)
+        lpl = np.zeros((C, k + 1, TAB), dtype=np.float64)
+        for m in range(k + 1):
+            for c in range(C):
+                t_ = eng.log_pls(c, m)[int((frc + m) % 3)]
+                lpl[c, m, : len(t_)] = t_
+        LPL = U.asarr(lpl).reshape(C, (k + 1) * TAB)
+        pids = []
+        for m in range(k + 1):
+            okb = (b >= 0) & (b <= n - (m + 1))
+            pids.append(xp.where(okb, rid_at_b[m], -1))
+        flat = xp.concatenate([m * TAB + xp.clip(p, 0, None)
+                               for m, p in enumerate(pids)])
+        GV = LPL[:, flat].reshape(C, k + 1, n)
+        for m in range(k + 1):
+            for c in range(C):
+                v = xp.where(pids[m] >= 0, GV[c, m], (m + 1) * log_nc)
+                short_val[c] = xp.where(lsh == m, v, short_val[c])
+    else:
+        for m in range(0, k + 1):
+            rids = eng.rc_kmer_ids_full(m + 1)
+            okb = (b >= 0) & (b <= n - (m + 1))
+            pid = xp.where(okb, rids[xp.clip(b, 0, max(n - (m + 1), 0))], -1)
+            for c in range(C):
+                lplsm = U.asarr(eng.log_pls(c, m)[int((frc + m) % 3)])
+                v = xp.where(pid >= 0, lplsm[xp.clip(pid, 0, None)],
+                             (m + 1) * log_nc)
+                short_val[c] = xp.where(lsh == m, v, short_val[c])
 
     # normal regime (right - b > k)
     begin_initp = right - (k - 1)
@@ -885,6 +922,44 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
         return U.where(lo > hi, 0.0, U.val(d) if U.is_dd(d) else d)
 
     initL = cn.init_coding_len
+    begin_init = xp.maximum(begin_initp - initL, b)
+
+    if U.A.is_jax:
+        # ONE flat gather over all (name, class, hi/lo) cum rows at the
+        # three segment endpoints replaces 2 gathers per _gc call; values
+        # are identical (row-major flat index == (ph, idx) 2D index)
+        names = ("emi", "init") if t == ST.rsingleG else ("emi",)
+        which = {"b": 0, "bip": 1, "bi": 2}
+        flat_idx = xp.concatenate(
+            [phi * (n + 1) + xp.clip(ix, 0, n)
+             for ix in (b, begin_initp, begin_init)])
+        rows = []
+        rowof = {}
+        for name in names:
+            for c in range(C):
+                cum = eng.cum_exon[(c, name, False)]
+                rowof[(name, c)] = len(rows)
+                if U.is_dd(cum):
+                    rows.append(cum.hi.reshape(-1))
+                    rows.append(cum.lo.reshape(-1))
+                else:
+                    rows.append(cum.reshape(-1))
+        GG = xp.stack(rows)[:, flat_idx].reshape(len(rows), 3, n)
+
+        def _gc2(name, c, key):
+            r = rowof[(name, c)]
+            if U.is_dd(eng.cum_exon[(c, name, False)]):
+                return U.DD(GG[r, which[key]], GG[r + 1, which[key]])
+            return GG[r, which[key]]
+
+        def _seg2(name, c, lo_key, hi_key, lo_arr, hi_arr):
+            d = _gc2(name, c, hi_key) - _gc2(name, c, lo_key)
+            return U.where(lo_arr > hi_arr, 0.0,
+                           U.val(d) if U.is_dd(d) else d)
+
+        LK = U.stk([U.asarr(eng.log_pls(c, k - 1)[frame_ip])
+                    for c in range(C)])
+        ipat_c = LK[:, xp.clip(pid, 0, None)]             # (C, n)
 
     # length distribution + hint quotient (class-independent)
     exon_len = end_of_bio - bob + 1
@@ -906,17 +981,25 @@ def _build_pinned(eng: GoldEngine, s: int, t: ST, lane: int, gpad: int
 
     score_c = []
     for c in range(C):
-        lplsk = U.asarr(eng.log_pls(c, k - 1)[frame_ip])
-        initpat = xp.where(pid >= 0, lplsk[xp.clip(pid, 0, None)],
-                           k * log_nc)
-        cum_emi = eng.cum_exon[(c, "emi", False)]
-        if t == ST.rsingleG:
-            cum_init = eng.cum_exon[(c, "init", False)]
-            begin_init = xp.maximum(begin_initp - initL, b)
-            seg = _seg(cum_init, phi, begin_init, begin_initp - 1) + \
-                _seg(cum_emi, phi, b, begin_init - 1)
-        else:   # rterminal*
-            seg = _seg(cum_emi, phi, b, begin_initp - 1)
+        if U.A.is_jax:
+            initpat = xp.where(pid >= 0, ipat_c[c], k * log_nc)
+            if t == ST.rsingleG:
+                seg = _seg2("init", c, "bi", "bip",
+                            begin_init, begin_initp - 1) + \
+                    _seg2("emi", c, "b", "bi", b, begin_init - 1)
+            else:   # rterminal*
+                seg = _seg2("emi", c, "b", "bip", b, begin_initp - 1)
+        else:
+            lplsk = U.asarr(eng.log_pls(c, k - 1)[frame_ip])
+            initpat = xp.where(pid >= 0, lplsk[xp.clip(pid, 0, None)],
+                               k * log_nc)
+            cum_emi = eng.cum_exon[(c, "emi", False)]
+            if t == ST.rsingleG:
+                cum_init = eng.cum_exon[(c, "init", False)]
+                seg = _seg(cum_init, phi, begin_init, begin_initp - 1) + \
+                    _seg(cum_emi, phi, b, begin_init - 1)
+            else:   # rterminal*
+                seg = _seg(cum_emi, phi, b, begin_initp - 1)
         normal_val = initpat + seg
         rest = xp.where(b > right, over_val,
                         xp.where(lsh <= k, short_val[c], normal_val))

@@ -96,7 +96,10 @@ def phase_cumsum(per_frame: np.ndarray, reverse: bool):
     z = xp.zeros((1,), dtype=ftype())
     for phi in range(3):
         f = (phi + pos) % 3 if not reverse else (phi - pos) % 3
-        sel = per_frame[f, pos]
+        # row select instead of a 2D gather (same values, ~10x cheaper
+        # on XLA:TPU)
+        sel = xp.where(f == 0, per_frame[0],
+                       xp.where(f == 1, per_frame[1], per_frame[2]))
         rows.append(xp.concatenate([z, sel]))
     cum = DD.cumsum_dd(xp.stack(rows), axis=-1)
     return cum if A.is_jax else cum.hi
@@ -125,16 +128,21 @@ def motif_score_fwd(codes: np.ndarray, motif: Motif) -> np.ndarray:
     ids_part = genetics.kmer_ids(codes, k1)     # start i -> [i, i+k]
     ids = xp.concatenate([ids_part, xp.full((n - ids_part.shape[0],), -1,
                                             dtype=ids_part.dtype)])
-    logw = asarr(_safe_log_np(motif.window_probs))   # (n_win, 4^{k+1})
     from . import xputil as U
     sfull = U.arange(n)
+    # ONE (n)-index gather pulling all n_win window rows per pattern id
+    # (per-row gathers were the dominant prep-graph cost: ~5 ms + launch
+    # overhead each, x n_win x calls); shift∘lookup == lookup∘shift under
+    # edge-clipped shifts, and the add order below is unchanged, so the
+    # result is bit-identical to the per-row formulation
+    logw_t = asarr(_safe_log_np(motif.window_probs).T)   # (4^{k+1}, n_win)
+    G = logw_t[xp.clip(ids, 0, None)].T                  # (n_win, n)
+    valid = ids >= 0
     acc = xp.zeros(n, dtype=ftype())
     for i in range(motif.n):
         sh = i - motif.k
-        pid = U.sg(ids, sh, n)                 # static shift, not a gather
-        in_range = (sfull + sh) <= n - 1
-        v = in_range & (pid >= 0)
-        acc = acc + xp.where(v, logw[i, xp.where(v, pid, 0)], LOG_QUARTER)
+        v = ((sfull + sh) <= n - 1) & U.sg(valid, sh, n)
+        acc = acc + xp.where(v, U.sg(G[i], sh, n), LOG_QUARTER)
     return xp.where(sfull >= motif.k, acc, NEG_INF)
 
 
@@ -151,16 +159,17 @@ def motif_score_rc(codes: np.ndarray, motif: Motif) -> np.ndarray:
     ids = xp.concatenate([ids_part, xp.full((n - ids_part.shape[0],), -1,
                                             dtype=ids_part.dtype)]) \
         if ids_part.shape[0] < n else ids_part
-    logw = asarr(_safe_log_np(motif.window_probs))
     from . import xputil as U
     sfull = U.arange(n)
+    # single fat gather + shifted-column adds; bit-identical to the
+    # per-row gathers (see motif_score_fwd)
+    logw_t = asarr(_safe_log_np(motif.window_probs).T)   # (4^{k+1}, n_win)
+    G = logw_t[xp.clip(ids, 0, None)].T                  # (n_win, n)
+    valid = ids >= 0
     acc = xp.zeros(n, dtype=ftype())
     for i in range(motif.n):
-        pid = U.sg(ids, i, n)
-        in_range = (sfull + i) <= n - 1
-        v = in_range & (pid >= 0)
-        acc = acc + xp.where(v, logw[motif.n - 1 - i, xp.where(v, pid, 0)],
-                             LOG_QUARTER)
+        v = ((sfull + i) <= n - 1) & U.sg(valid, i, n)
+        acc = acc + xp.where(v, U.sg(G[motif.n - 1 - i], i, n), LOG_QUARTER)
     return acc
 
 
