@@ -41,3 +41,34 @@ def test_eval_genbank_byte_exact(trained_species):   # noqa: F811
                    "rt") as fh:
         want = fh.read()
     assert _filter(got) == _filter(want)
+
+
+def test_eval_crf_flag_byte_exact(trained_species):   # noqa: F811
+    """Reference CI test_training_new_species_crf flow: etraining (already
+    byte-exact via the fixture) then GenBank eval-mode prediction with
+    --CRF=on --CRF_N=2 --UTR=off (reference types.cc:242-249: at
+    prediction the flag switches the dss/ass maxbinsize defaults; with a
+    bin-free parameter set the output must be deterministic and equal the
+    reference binary run, golden_eval_crf3.out.gz)."""
+    if not has_reference():
+        pytest.skip("reference not available")
+    from augustus_tpu.predict import Model, evaluate_genbank
+
+    def filt(text):
+        lines = text.split("\n")
+        start = next(i for i, l in enumerate(lines)
+                     if "# ----- sequence number" in l)
+        return [l for l in lines[start:]
+                if "# total time:" not in l and "command line" not in l
+                and " genes_crf3.gb " not in l]
+
+    cfg = trained_species.parent.parent
+    model = Model.load({"species": "test_aug_dev_species",
+                        "AUGUSTUS_CONFIG_PATH": str(cfg),
+                        "softmasking": "0", "UTR": "off",
+                        "CRF": "on", "CRF_N": "2"})
+    got = evaluate_genbank(model, os.path.join(DATA, "genes_crf3.gb"))
+    with gzip.open(os.path.join(DATA, "golden_eval_crf3.out.gz"),
+                   "rt") as fh:
+        want = fh.read()
+    assert filt(got) == filt(want)
