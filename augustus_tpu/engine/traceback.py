@@ -73,6 +73,45 @@ def make_trace_fn(n: int, row_off: int):
     return jax.jit(fn)
 
 
+def make_trace_body(n_pad: int, row_off: int):
+    """Non-jitted walk over a PADDED plane with a traced true length.
+
+    fn(bps, state0, n_start) -> ((n_pad-1,) packed emits, final_base):
+    identical carry evolution to make_trace_fn(n_start, row_off) — rows at
+    j >= n_start are walked with is_read always false (read_base starts at
+    n_start-1), so emits for j < n_start match exactly and the caller
+    slices packed[:n_start-1].  Built for vmapping inside sharded batch
+    runners (parallel/mesh.py) where chunks share a padded bucket length
+    but differ in true length."""
+
+    def fn(bps, state0, n_start):
+        rows = bps[1 + row_off: n_pad - 1 + row_off + 1]
+        rows = jnp.flip(rows, axis=0)
+        jidx = jnp.arange(n_pad - 1, 0, -1, dtype=jnp.int32)
+        lane_iota = jnp.arange(rows.shape[1], dtype=jnp.int32)
+
+        def step(carry, xs):
+            read_base, pending, state = carry
+            row, j = xs
+            is_read = j == read_base
+            state = jnp.where(is_read, pending, state)
+            packed = jnp.sum(jnp.where(lane_iota == state, row, 0))
+            off = packed & 0xFFFFF
+            pred = packed >> 20
+            read_base = jnp.where(is_read, j - off, read_base)
+            pending = jnp.where(is_read, pred, pending)
+            emit = state | jnp.where(is_read, np.int32(1 << FLAG_BIT),
+                                     np.int32(0))
+            return (read_base, pending, state), emit
+
+        init = (jnp.asarray(n_start - 1, jnp.int32),
+                jnp.asarray(state0, jnp.int32), jnp.int32(0))
+        carry, emits = jax.lax.scan(step, init, (rows, jidx))
+        return jnp.flip(emits, axis=0), carry[0]
+
+    return fn
+
+
 @lru_cache(maxsize=64)
 def make_event_trace_fn(n: int, row_off: int, M: int = 16384):
     """Jitted event-walk traceback: O(#segments) instead of O(n).

@@ -61,8 +61,8 @@ def decode_pieces_global(model, piece_inputs: List[dict],
     Returns [(segments, gold_engine), ...] on every process."""
     from ..engine.gold import GoldEngine
     from ..engine.device import build_tracks, bucket_length, pad_tracks, \
-        UnsupportedByDevice
-    from ..engine.scan import split_tracks, ScanEngine
+        UnsupportedByDevice, F32_NEG
+    from ..engine.scan import split_tracks
     from jax.experimental import multihost_utils
 
     results = [None] * len(piece_inputs)
@@ -101,23 +101,31 @@ def decode_pieces_global(model, piece_inputs: List[dict],
         arrs = stack_arrays([packed[i][2] for i in batch])
         v0 = np.stack([np.asarray(packed[i][0].log_init)
                        for i in batch])
+        lt = np.stack([np.asarray(packed[i][0].log_term, dtype=np.float32)
+                       for i in batch])
+        lt = np.where(np.isfinite(lt), lt, np.float32(F32_NEG))
         arrs_g = jax.tree_util.tree_map(
             lambda a: _to_global(mesh, np.asarray(a)), arrs)
         v0_g = _to_global(mesh, v0)
+        lt_g = _to_global(mesh, lt)
         fn = make_batched_fn(static, mesh)
-        vfin, bps, _, _ = fn(arrs_g, v0_g)
+        # on-device traceback inside the sharded body: only the packed
+        # emits cross host boundaries, never the backpointer planes
+        vfin, pk, fb, st0, _, _ = fn(arrs_g, v0_g, lt_g)
         # gather the global results onto every host (the reference's
         # join step concatenates per-chunk GFFs on one node; allgather
         # lets every process print its own copy deterministically)
         vfin = multihost_utils.process_allgather(vfin, tiled=True)
-        bps = multihost_utils.process_allgather(bps, tiled=True)
+        pk = multihost_utils.process_allgather(pk, tiled=True)
+        fb = multihost_utils.process_allgather(fb, tiled=True)
+        st0 = multihost_utils.process_allgather(st0, tiled=True)
+        from ..engine.traceback import raw_segments
+        types = model.sg.state_types
         for k, i in enumerate(idxs):
-            se = ScanEngine.__new__(ScanEngine)
-            tracks = packed[i][0]
-            se.tracks = tracks
-            se.n_true = packed[i][3]
-            se.n, se.S = packed[i][3], tracks.S
-            se.v_final = np.asarray(vfin[k])
-            se._bps_dev = np.asarray(bps[k])
-            results[i] = se.traceback()
+            n_true = packed[i][3]
+            last = np.asarray(vfin[k]) + lt[k]
+            if last[int(st0[k])] <= float(F32_NEG) / 2:
+                raise RuntimeError("No feasible path found in HMM (scan)")
+            results[i] = raw_segments(np.asarray(pk[k])[: n_true - 1],
+                                      int(fb[k]), types)
     return list(zip(results, golds))

@@ -25,35 +25,44 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..engine.scan import ScanStatic, make_scan_fn
+from ..engine.traceback import make_trace_body
 
 
 def make_batched_fn(static: ScanStatic, mesh: Mesh, axis: str = "data"):
-    """Compile a sharded batch runner.
+    """Compile a sharded batch runner with ON-DEVICE traceback.
 
     Inputs: stacked arrays pytree with leading chunk axis (N, ...), v0
-    (N, S).  N must be divisible by the mesh axis size.  Returns
-    (v_final (N, S), backptrs (N, n-1, S), stats (per-chunk best score and a
-    psum'd global total exercising the ICI collective)).
-    """
+    (N, S), log_term (N, S).  N must be divisible by the mesh axis size.
+    The backpointer planes never leave the devices: each chunk's walk runs
+    right after its scan (engine/traceback.make_trace_body) so only
+    (v_final (N, S), packed emits (N, n_pad-1) int32, final_base (N,),
+    state0 (N,), stats) ship to the host — ~4 B/base instead of the
+    (N, n-1, S) planes.  Stats: per-chunk best score and a psum'd global
+    total exercising the ICI collective."""
     fn = make_scan_fn(static)
+    n_pad = static.n
+    walk = make_trace_body(n_pad, -1)
 
-    def one_chunk(arrays, v0):
+    def one_chunk(arrays, v0, log_term):
         vfin, bps = fn(arrays, v0)
-        return vfin, bps
+        last = vfin + log_term
+        state0 = jnp.argmax(last).astype(jnp.int32)
+        packed, final_base = walk(bps, state0, arrays["n_true"])
+        return vfin, packed, final_base, state0
 
-    def shard_body(arrays, v0):
+    def shard_body(arrays, v0, log_term):
         # arrays leaves: (N/axis, ...) on this device; vmap over chunks
-        vfin, bps = jax.vmap(one_chunk)(arrays, v0)
+        vfin, packed, fb, state0 = jax.vmap(one_chunk)(arrays, v0, log_term)
         local_best = jnp.max(vfin, axis=1)                 # (N/axis,)
         total = jax.lax.psum(jnp.sum(local_best), axis)    # collective
-        return vfin, bps, local_best, total
+        return vfin, packed, fb, state0, local_best, total
 
     # P(axis) acts as a pytree prefix: every leaf is sharded on its leading
     # (chunk) axis.
     sharded = shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         check_rep=False)
     return jax.jit(sharded)
 
@@ -85,8 +94,8 @@ def decode_pieces(model, piece_inputs, engine: str = "auto"):
     """
     from ..engine.gold import GoldEngine
     from ..engine.device import build_tracks, bucket_length, pad_tracks, \
-        UnsupportedByDevice
-    from ..engine.scan import split_tracks, ScanEngine
+        UnsupportedByDevice, F32_NEG
+    from ..engine.scan import split_tracks
 
     results = [None] * len(piece_inputs)
     golds = [None] * len(piece_inputs)
@@ -124,17 +133,25 @@ def decode_pieces(model, piece_inputs, engine: str = "auto"):
         arrs = stack_arrays([packed[i][2] for i in batch])
         v0 = np.stack([np.asarray(packed[i][0].log_init)
                        for i in batch])
+        lt = np.stack([np.asarray(packed[i][0].log_term, dtype=np.float32)
+                       for i in batch])
+        lt = np.where(np.isfinite(lt), lt, np.float32(F32_NEG))
         fn = make_batched_fn(static, mesh)
-        vfin, bps, _, _ = fn(arrs, v0)
+        # traceback runs on-device inside the sharded body: only the
+        # packed emits (~4 B/base) and final columns come back, never the
+        # (N, n-1, S) backpointer planes
+        vfin, pk, fb, st0, _, _ = fn(arrs, v0, lt)
         vfin = np.asarray(vfin)
-        bps = np.asarray(bps)
+        pk = np.asarray(pk)
+        fb = np.asarray(fb)
+        st0 = np.asarray(st0)
+        from ..engine.traceback import raw_segments
+        types = model.sg.state_types
         for k, i in enumerate(idxs):
-            se = ScanEngine.__new__(ScanEngine)
-            tracks = packed[i][0]
-            se.tracks = tracks
-            se.n_true = packed[i][3]
-            se.n, se.S = packed[i][3], tracks.S
-            se.v_final = vfin[k]
-            se._bps_dev = bps[k]
-            results[i] = se.traceback()
+            n_true = packed[i][3]
+            last = vfin[k] + lt[k]
+            if last[int(st0[k])] <= float(F32_NEG) / 2:
+                raise RuntimeError("No feasible path found in HMM (scan)")
+            results[i] = raw_segments(pk[k][: n_true - 1], int(fb[k]),
+                                      types)
     return list(zip(results, golds))
