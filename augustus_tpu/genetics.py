@@ -123,50 +123,80 @@ def codon_index(codon: str) -> int:
     return idx
 
 
+# The reference's translation tables (src/geneticcode.cc:57-101), one
+# 64-char string per NCBI table number in codon-lexicographic order
+# (aaa=0 .. ttt=63, a<c<g<t — matches codon_index).  Empty string = table
+# not defined; chooseTranslationTable falls back to table 1 then.
+_TRANSLATION_TABLES = {
+    1:  "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF",
+    2:  "KNKNTTTT*S*SMIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+    3:  "KNKNTTTTRSRSMIMIQHQHPPPPRRRRTTTTEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+    4:  "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+    5:  "KNKNTTTTSSSSMIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+    6:  "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVVQYQYSSSS*CWCLFLF",
+    9:  "NNKNTTTTSSSSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+    10: "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSCCWCLFLF",
+    11: "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF",
+    12: "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLSLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF",
+    13: "KNKNTTTTGSGSMIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+    14: "NNKNTTTTSSSSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVVYY*YSSSSWCWCLFLF",
+    15: "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*YQYSSSS*CWCLFLF",
+    16: "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*YLYSSSS*CWCLFLF",
+    21: "NNKNTTTTSSSSMIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+    22: "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*YLY*SSS*CWCLFLF",
+    23: "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWC*FLF",
+    24: "KNKNTTTTSSKSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSSWCWCLFLF",
+}
+
+# start-codon masks per table (src/geneticcode.cc StartCodons, 'M' =
+# codon may start translation; the trained start-codon frequencies gate
+# which ones actually score > 0 — GeneticCode::startCodonProb)
+_START_CODON_MASKS = {
+    1:  "--------------M---------------M-------------------------------M-",
+    2:  "------------MMMM------------------------------M-----------------",
+    3:  "------------M-M-------------------------------------------------",
+    4:  "------------MMMM--------------M---------------M-------------M-M-",
+    5:  "------------MMMM------------------------------M---------------M-",
+    6:  "--------------M-------------------------------------------------",
+    9:  "--------------M-------------------------------M-----------------",
+    10: "--------------M-------------------------------------------------",
+    11: "------------MMMM--------------M---------------M---------------M-",
+    12: "--------------M---------------M---------------------------------",
+    13: "------------M-M-------------------------------M---------------M-",
+    14: "--------------M-------------------------------------------------",
+    15: "--------------M-------------------------------------------------",
+    16: "--------------M-------------------------------------------------",
+    21: "--------------M-------------------------------M-----------------",
+    22: "--------------M-------------------------------------------------",
+    23: "--------------MM------------------------------M-----------------",
+    24: "--------------M---------------M---------------M---------------M-",
+}
+
+NUM_TRANSTABS = 24
+
+
 class GeneticCode:
     """Codon translation + start/stop predicates for one translation table.
 
-    Only the standard table (1) is wired up so far; alternative translation
-    tables (reference src/geneticcode.cc chooseTranslationTable) hang off the
-    same structure by editing ``aa_of_codon``.
+    All the reference's tables (src/geneticcode.cc:57-101, NCBI numbering
+    with gaps at 7, 8, 17-20) including the per-table start-codon sets;
+    out-of-range or undefined numbers fall back to the standard table 1
+    exactly like GeneticCode::chooseTranslationTable (geneticcode.cc:146).
     """
 
     def __init__(self, table: int = 1):
+        if table > NUM_TRANSTABS or table < 0 or \
+                table not in _TRANSLATION_TABLES:
+            table = 1
         self.table = table
-        self.aa_of_codon = np.array(["X"] * 64)
-        for codon, aa in _STANDARD.items():
-            self.aa_of_codon[codon_index(codon)] = aa
-        if table != 1:
-            self._apply_alternative(table)
+        self.aa_of_codon = np.array(list(_TRANSLATION_TABLES[table]))
         self.is_stop = self.aa_of_codon == "*"
-        # start codons: standard = atg only (reference: START_CODON "atg",
-        # plus optional non-atg starts controlled by probabilities)
-        self.start_codons = {codon_index("atg"): 1.0}
-
-    def _apply_alternative(self, table: int) -> None:
-        # Translation-table deviations from the standard code, keyed by NCBI
-        # table number (reference src/geneticcode.cc:25-90 aa_symbols_with_*).
-        deviations = {
-            2: {"aga": "*", "agg": "*", "ata": "M", "tga": "W"},
-            3: {"ata": "M", "ctt": "T", "ctc": "T", "cta": "T", "ctg": "T",
-                "tga": "W"},
-            4: {"tga": "W"}, 5: {"aga": "S", "agg": "S", "ata": "M",
-                                 "tga": "W"},
-            6: {"taa": "Q", "tag": "Q"},
-            9: {"aaa": "N", "aga": "S", "agg": "S", "tga": "W"},
-            10: {"tga": "C"}, 12: {"ctg": "S"},
-            13: {"aga": "G", "agg": "G", "ata": "M", "tga": "W"},
-            14: {"aaa": "N", "aga": "S", "agg": "S", "taa": "Y", "tga": "W"},
-            16: {"tag": "L"}, 21: {"tga": "W", "ata": "M", "aga": "S",
-                                   "agg": "S", "aaa": "N"},
-            22: {"tca": "*", "tag": "L"},
-            23: {"tta": "*"},
-            24: {"aga": "S", "agg": "K", "tga": "W"},
-            25: {"tga": "G"},
-        }
-        for codon, aa in deviations.get(table, {}).items():
-            self.aa_of_codon[codon_index(codon)] = aa
-        self.is_stop = self.aa_of_codon == "*"
+        # codon indices that may start translation under this table; the
+        # trained start-codon frequencies decide their actual weight
+        # (engine/gold.py start_prob tracks)
+        self.start_codons = {
+            c: 1.0 for c, ch in enumerate(_START_CODON_MASKS[table])
+            if ch == "M"}
 
     def translate(self, codes: np.ndarray) -> str:
         """Translate coding-sequence codes (length divisible by 3 not required;

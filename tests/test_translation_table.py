@@ -50,3 +50,30 @@ def test_table1_matches_default():
     td = _eng("1")
     assert np.array_equal(np.isfinite(t1.end_stop_fwd),
                           np.isfinite(td.end_stop_fwd))
+
+
+def test_tables_match_reference_source():
+    """Byte parity of every translation table + start-codon mask with the
+    reference's arrays (src/geneticcode.cc:57-101), parsed from source."""
+    import os
+    import re
+    from augustus_tpu import genetics as G
+    src = os.path.join(os.path.dirname(REFERENCE_CONFIG), "src",
+                       "geneticcode.cc")
+    if not os.path.exists(src):
+        pytest.skip("reference source not present")
+    text = open(src).read()
+    strings = re.findall(r'"([A-Z*\-]{64})"', text)
+    aa = [s for s in strings if "-" not in s]
+    masks = [s for s in strings if "-" in s]
+    ref_tables = dict(zip([1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 13, 14, 15, 16,
+                           21, 22, 23, 24], aa))
+    ref_masks = dict(zip([1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 13, 14, 15, 16,
+                          21, 22, 23, 24], masks))
+    assert G._TRANSLATION_TABLES == ref_tables
+    assert G._START_CODON_MASKS == ref_masks
+    for t, s in ref_tables.items():
+        gc = G.GeneticCode(t)
+        assert "".join(gc.aa_of_codon) == s
+        assert set(gc.start_codons) == {
+            i for i, ch in enumerate(ref_masks[t]) if ch == "M"}
