@@ -50,10 +50,16 @@ class CompGenePred:
         self.model = model
         self.tree = PhyloTree.from_file(tree_file)
         # reference compgenepred.cc:94-127: --dbaccess=<file>.db selects
-        # the SQLite store, otherwise genomes load into memory
+        # the SQLite store, a "dbname,host,user,passwd[,port]" spec the
+        # MySQL store, otherwise genomes load into memory
         if dbaccess:
-            from .sqlite_db import SQLiteAccess
-            self.rsa = SQLiteAccess(dbaccess, species_files)
+            from .mysql_db import is_mysql_dbaccess
+            if is_mysql_dbaccess(dbaccess):
+                from .mysql_db import MysqlAccess
+                self.rsa = MysqlAccess(dbaccess, species_files)
+            else:
+                from .sqlite_db import SQLiteAccess
+                self.rsa = SQLiteAccess(dbaccess, species_files)
         else:
             self.rsa = MemSeqAccess(species_files)
         self.aln_file = aln_file
